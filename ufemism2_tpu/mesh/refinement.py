@@ -1,0 +1,262 @@
+"""Batched Delaunay refinement + Lloyd's relaxation (host-side numpy).
+
+TPU-native re-design of the reference's sequential refinement
+(src/UPSY/mesh/mesh_refinement_basic.f90: refine_mesh_uniform/point/line/
+polygon; mesh_Lloyds_algorithm.f90). Same criteria — a triangle is split at
+its circumcenter when its longest leg exceeds the local target resolution
+times `resolution_tolerance`, or its smallest angle is below `alpha_min` —
+but instead of one-at-a-time insertion with flip propagation, we insert
+batches of circumcenters (with a minimum-spacing filter) and re-triangulate
+with Qhull each round. Border encroachment is handled by projecting
+out-of-domain/near-border circumcenters onto the border, keeping all
+circumcentres inside the domain (which the reference asserts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from .triangulation import (delaunay_triangulate, circumcenters,
+                            longest_legs, smallest_angles)
+
+
+# ---------------------------------------------------------------------------
+# Refinement criteria: map triangle centroids/geometry -> max allowed res
+# ---------------------------------------------------------------------------
+
+@dataclass
+class UniformCriterion:
+    res: float
+
+    def target(self, pts: np.ndarray, circ_r: np.ndarray) -> np.ndarray:
+        return np.full(len(pts), self.res)
+
+
+@dataclass
+class PolygonCriterion:
+    """res applies to triangles whose centroid lies inside the polygon."""
+    poly: np.ndarray   # [n,2]
+    res: float
+
+    def target(self, pts: np.ndarray, circ_r: np.ndarray) -> np.ndarray:
+        inside = points_in_polygon(pts, self.poly)
+        return np.where(inside, self.res, np.inf)
+
+
+@dataclass
+class LineCriterion:
+    """res applies to triangles within width/2 (or their size) of a polyline."""
+    line: np.ndarray   # [n,2] polyline vertices
+    res: float
+    width: float
+
+    def target(self, pts: np.ndarray, circ_r: np.ndarray) -> np.ndarray:
+        d = dist_to_polyline(pts, self.line)
+        hit = d <= np.maximum(self.width / 2.0, circ_r)
+        return np.where(hit, self.res, np.inf)
+
+
+@dataclass
+class PointCriterion:
+    """res applies to triangles containing (within circ_r of) given points."""
+    points: np.ndarray  # [n,2]
+    res: float
+
+    def target(self, pts: np.ndarray, circ_r: np.ndarray) -> np.ndarray:
+        if len(self.points) == 0:
+            return np.full(len(pts), np.inf)
+        tree = cKDTree(self.points)
+        d, _ = tree.query(pts)
+        return np.where(d <= circ_r, self.res, np.inf)
+
+
+def points_in_polygon(pts: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorised ray-casting point-in-polygon test."""
+    x, y = pts[:, 0], pts[:, 1]
+    n = len(poly)
+    inside = np.zeros(len(pts), dtype=bool)
+    x0, y0 = poly[:, 0], poly[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    for i in range(n):
+        cond = ((y0[i] <= y) & (y < y1[i])) | ((y1[i] <= y) & (y < y0[i]))
+        dy = y1[i] - y0[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = x0[i] + (y - y0[i]) / dy * (x1[i] - x0[i])
+        inside ^= cond & (x < xi)
+    return inside
+
+
+def dist_to_polyline(pts: np.ndarray, line: np.ndarray) -> np.ndarray:
+    """Min distance of each point to a polyline (vectorised over segments)."""
+    p0 = line[:-1]                      # [S,2]
+    seg = line[1:] - p0                 # [S,2]
+    L2 = np.maximum((seg * seg).sum(1), 1e-300)
+    best = np.full(len(pts), np.inf)
+    # chunk over segments to bound memory
+    S = len(p0)
+    chunk = max(1, int(4e7 / max(len(pts), 1)))
+    for s0 in range(0, S, chunk):
+        s1 = min(S, s0 + chunk)
+        d = pts[:, None, :] - p0[None, s0:s1, :]            # [N,s,2]
+        t = np.clip((d * seg[None, s0:s1, :]).sum(-1) / L2[None, s0:s1], 0, 1)
+        proj = p0[None, s0:s1, :] + t[..., None] * seg[None, s0:s1, :]
+        dd = np.linalg.norm(pts[:, None, :] - proj, axis=-1).min(axis=1)
+        best = np.minimum(best, dd)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# The refinement loop
+# ---------------------------------------------------------------------------
+
+def initial_points(xmin, xmax, ymin, ymax, res_max: float) -> np.ndarray:
+    """Corner + border + a couple of interior seed points."""
+    nx = max(2, int(np.ceil((xmax - xmin) / res_max)) + 1)
+    ny = max(2, int(np.ceil((ymax - ymin) / res_max)) + 1)
+    bx = np.linspace(xmin, xmax, nx)
+    by = np.linspace(ymin, ymax, ny)
+    south = np.stack([bx, np.full(nx, ymin)], 1)
+    north = np.stack([bx, np.full(nx, ymax)], 1)
+    west = np.stack([np.full(ny - 2, xmin), by[1:-1]], 1)
+    east = np.stack([np.full(ny - 2, xmax), by[1:-1]], 1)
+    ctr = np.array([[0.5 * (xmin + xmax), 0.5 * (ymin + ymax)]])
+    return np.concatenate([south, north, west, east, ctr])
+
+
+def refine_mesh(xmin, xmax, ymin, ymax,
+                criteria: Sequence,
+                alpha_min: float = 0.4363,
+                resolution_tolerance: float = 1.25,
+                max_rounds: int = 60,
+                verbose: bool = False) -> np.ndarray:
+    """Run batched Delaunay refinement; returns final vertex set V [nV,2].
+
+    criteria: list of *Criterion objects with .target(pts, circ_r) -> res.
+    """
+    res_unif = min((c.res for c in criteria if isinstance(c, UniformCriterion)),
+                   default=(xmax - xmin))
+    V = initial_points(xmin, xmax, ymin, ymax, res_unif)
+    border_tol = 1e-6 * max(xmax - xmin, ymax - ymin)
+
+    for rnd in range(max_rounds):
+        Tri = delaunay_triangulate(V)
+        cc = circumcenters(V, Tri)
+        gc = V[Tri].mean(axis=1)
+        legs = longest_legs(V, Tri)
+        angs = smallest_angles(V, Tri)
+        circ_r = np.linalg.norm(cc - gc, axis=1) + 0.5 * legs
+
+        res_target = np.full(len(Tri), np.inf)
+        for c in criteria:
+            res_target = np.minimum(res_target, c.target(gc, circ_r))
+
+        bad = (legs > res_target * resolution_tolerance) | (angs < alpha_min)
+        if not bad.any():
+            break
+
+        new_pts = cc[bad].copy()
+        local_res = np.minimum(legs[bad] / 2.0, res_target[bad])
+
+        # encroachment: points outside the domain or hugging the border snap
+        # onto the border; this is what keeps circumcentres in-domain.
+        snap = np.zeros(len(new_pts), dtype=bool)
+        for dim, lo, hi in ((0, xmin, xmax), (1, ymin, ymax)):
+            near_lo = new_pts[:, dim] < lo + 0.45 * local_res
+            near_hi = new_pts[:, dim] > hi - 0.45 * local_res
+            new_pts[near_lo, dim] = lo
+            new_pts[near_hi, dim] = hi
+            snap |= near_lo | near_hi
+
+        # minimum-spacing filter: no two new points closer than 0.45*local
+        # res, and none too close to existing vertices
+        keep = _min_spacing_filter(new_pts, 0.45 * local_res, V)
+        new_pts = new_pts[keep]
+        if len(new_pts) == 0:
+            # pathological: all candidates filtered; split worst triangle edge
+            ti = int(np.argmax(legs / np.maximum(res_target, 1e-30)))
+            a, b = V[Tri[ti, 0]], V[Tri[ti, 1]]
+            new_pts = 0.5 * (a + b)[None, :]
+        V = np.concatenate([V, new_pts])
+        if verbose:
+            print(f"  refine round {rnd}: nV={len(V)} (+{len(new_pts)}), "
+                  f"bad={int(bad.sum())}")
+    # snap near-border points exactly onto the border
+    for dim, lo, hi in ((0, xmin, xmax), (1, ymin, ymax)):
+        V[np.abs(V[:, dim] - lo) < border_tol, dim] = lo
+        V[np.abs(V[:, dim] - hi) < border_tol, dim] = hi
+    # dedupe
+    V = _dedupe(V, 1e-6 * max(xmax - xmin, ymax - ymin))
+    return V
+
+
+def _min_spacing_filter(pts: np.ndarray, min_d: np.ndarray,
+                        existing: np.ndarray) -> np.ndarray:
+    """Greedy filter: keep points pairwise at least min_d apart and at least
+    min_d from existing points."""
+    keep = np.ones(len(pts), dtype=bool)
+    if len(existing):
+        tree = cKDTree(existing)
+        d, _ = tree.query(pts)
+        keep &= d > min_d
+    idx = np.where(keep)[0]
+    if len(idx) == 0:
+        return keep
+    sub = pts[idx]
+    tree = cKDTree(sub)
+    pairs = tree.query_pairs(float(np.max(min_d[idx])), output_type="ndarray")
+    dead = np.zeros(len(sub), dtype=bool)
+    for i, j in pairs:
+        if dead[i] or dead[j]:
+            continue
+        dij = np.linalg.norm(sub[i] - sub[j])
+        if dij < max(min_d[idx[i]], min_d[idx[j]]):
+            dead[j] = True
+    keep[idx[dead]] = False
+    return keep
+
+
+def _dedupe(V: np.ndarray, tol: float) -> np.ndarray:
+    tree = cKDTree(V)
+    pairs = tree.query_pairs(tol, output_type="ndarray")
+    dead = np.zeros(len(V), dtype=bool)
+    for i, j in pairs:
+        if not dead[i]:
+            dead[j] = True
+    return V[~dead]
+
+
+def lloyds_algorithm(V: np.ndarray, xmin, xmax, ymin, ymax,
+                     nit: int = 2) -> np.ndarray:
+    """Lloyd's relaxation: move vertices toward Voronoi-cell centroids.
+
+    Border vertices slide along their border; corners stay fixed
+    (reference mesh_Lloyds_algorithm.f90).
+    """
+    from .triangulation import Connectivity
+    from .secondary import calc_voronoi_areas_centres
+
+    tol = 1e-6 * max(xmax - xmin, ymax - ymin)
+    for _ in range(nit):
+        Tri = delaunay_triangulate(V)
+        conn = Connectivity(V, Tri, xmin, xmax, ymin, ymax)
+        cc = np.clip(circumcenters(V, Tri), [xmin, ymin], [xmax, ymax])
+        _, GC = calc_voronoi_areas_centres(conn, cc, xmin, xmax, ymin, ymax)
+        newV = GC.copy()
+        on_w = np.abs(V[:, 0] - xmin) < tol
+        on_e = np.abs(V[:, 0] - xmax) < tol
+        on_s = np.abs(V[:, 1] - ymin) < tol
+        on_n = np.abs(V[:, 1] - ymax) < tol
+        # border vertices: keep their border coordinate
+        newV[on_w, 0] = xmin
+        newV[on_e, 0] = xmax
+        newV[on_s, 1] = ymin
+        newV[on_n, 1] = ymax
+        # corners fixed
+        corner = (on_w | on_e) & (on_s | on_n)
+        newV[corner] = V[corner]
+        V = np.clip(newV, [xmin, ymin], [xmax, ymax])
+    return V
