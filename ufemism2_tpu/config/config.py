@@ -38,8 +38,11 @@ class Config:
 
     # -- attribute access -------------------------------------------------
     def __getattr__(self, k):
+        # guard against lookups during construction/copying (e.g. __copy__)
+        if k.startswith("_"):
+            raise AttributeError(k)
         try:
-            return self._values[k]
+            return object.__getattribute__(self, "_values")[k]
         except KeyError:
             raise AttributeError(f"unknown config parameter '{k}'") from None
 
@@ -57,7 +60,7 @@ class Config:
         self._values[k] = _coerce(k, ptype, v)
 
     def replace(self, **overrides) -> "Config":
-        new = copy.copy(self)
+        new = object.__new__(Config)
         object.__setattr__(new, "_values", dict(self._values))
         object.__setattr__(new, "_frozen", False)
         for k, v in overrides.items():

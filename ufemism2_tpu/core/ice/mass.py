@@ -1,0 +1,137 @@
+"""Conservation of mass: dHi/dt from the upwind flux divergence.
+
+TPU-native re-design of src/UFEMISM/ice_dynamics/conservation_of_mass/:
+the reference assembles an upwind flux-divergence CSR matrix M_divQ each
+step and multiplies it with H (conservation_of_mass_utilities.f90:23). The
+matrix has exactly the vertex-connectivity sparsity, so here div(Q) is a
+fused stencil: per-connection upwind fluxes over padded neighbour tables,
+summed per Voronoi cell - one XLA kernel, no assembly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..mesh_data import MeshData, map_b_to_c
+from .geometry import ice_surface_elevation, Hi_from_Hb_Hs_and_SL
+
+
+def calc_divQ_upwind(md: MeshData, Hi, u_vav_b, v_vav_b, fraction_margin):
+    """div(Q) [m/yr] on the a-grid via upwind scheme.
+
+    Flux through the shared Voronoi boundary of (vi,vj): L_c * u_perp * H_up,
+    H_up = H_vi if u_perp > 0 (outflow) else H_vj; margin gating per
+    reference (cells not fully ice-filled don't export ice).
+    """
+    u_c = map_b_to_c(md, u_vav_b)
+    v_c = map_b_to_c(md, v_vav_b)
+
+    u_e = u_c[md.VE]                        # [nV, K]
+    v_e = v_c[md.VE]
+    u_perp = u_e * md.D_x / md.D + v_e * md.D_y / md.D
+
+    fm_i = fraction_margin[:, None]
+    fm_j = jnp.where(md.mask_C, fraction_margin[md.C], 0.0)
+    Hi_j = jnp.where(md.mask_C, Hi[md.C], 0.0)
+
+    LcA = md.Cw / md.A[:, None]
+    out_coeff = jnp.where((fm_i >= 1.0) & md.mask_C,
+                          LcA * jnp.maximum(0.0, u_perp), 0.0)
+    in_coeff = jnp.where((fm_j >= 1.0) & md.mask_C,
+                         LcA * jnp.minimum(0.0, u_perp), 0.0)
+    return (out_coeff * Hi[:, None] + in_coeff * Hi_j).sum(axis=1)
+
+
+def make_bc_masks(C, md: MeshData):
+    """Static per-border BC masks, computed on host (config + VBI are
+    static). Returns (bc_zero, bc_inf) numpy bool arrays."""
+    import numpy as np
+    vbi = np.asarray(md.VBI)
+    borders = {
+        "north": (vbi == 1) | (vbi == 2), "east": (vbi == 3) | (vbi == 4),
+        "south": (vbi == 5) | (vbi == 6), "west": (vbi == 7) | (vbi == 8)}
+    bc_zero = np.zeros(md.nV, bool)
+    bc_inf = np.zeros(md.nV, bool)
+    for side, border in borders.items():
+        bc = getattr(C, f"BC_H_{side}")
+        if bc == "zero":
+            bc_zero |= border
+        elif bc == "infinite":
+            bc_inf |= border
+        else:
+            raise ValueError(f"unknown BC_H '{bc}'")
+    return bc_zero, bc_inf
+
+
+def apply_ice_thickness_BC_explicit(C, md: MeshData, mask_noice, Hb, SL,
+                                    Hi_tplusdt, bc_masks=None):
+    """Domain-border thickness BCs (conservation_of_mass_explicit.f90:149).
+
+    'zero': Hi = 0 on that border. 'infinite': Hs set to the mean Hs of
+    interior neighbours (or of all neighbours if none interior).
+    """
+    if bc_masks is None:
+        bc_masks = make_bc_masks(C, md)
+    bc_zero, bc_inf = bc_masks
+
+    Hi_out = jnp.where(bc_zero, 0.0, Hi_tplusdt)
+    if not bc_inf.any():
+        return Hi_out
+
+    Hs = ice_surface_elevation(Hi_out, Hb, SL)
+    interior = (md.VBI == 0) & ~mask_noice
+    nbr_int = interior[md.C] & md.mask_C
+    n_int = nbr_int.sum(axis=1)
+
+    # first pass: mean Hs over interior neighbours
+    Hs_nbr = jnp.where(nbr_int, Hs[md.C], 0.0)
+    Hs_av1 = Hs_nbr.sum(1) / jnp.maximum(n_int, 1)
+    pass1 = bc_inf & (n_int > 0)
+    Hs1 = jnp.where(pass1, jnp.maximum(Hb, Hs_av1), Hs)
+    Hi1 = jnp.where(pass1, Hi_from_Hb_Hs_and_SL(Hb, Hs1, SL), Hi_out)
+
+    # second pass: border vertices with no interior neighbours use all nbrs
+    Hs_all = jnp.where(md.mask_C, Hs1[md.C], 0.0)
+    nC = md.mask_C.sum(axis=1)
+    Hs_av2 = Hs_all.sum(1) / jnp.maximum(nC, 1)
+    pass2 = bc_inf & (n_int == 0)
+    Hs2 = jnp.where(pass2, jnp.maximum(Hb, Hs_av2), Hs1)
+    Hi2 = jnp.where(pass2, Hi_from_Hb_Hs_and_SL(Hb, Hs2, SL), Hi1)
+    return Hi2
+
+
+def calc_dHi_dt_explicit(C, md: MeshData, Hi, Hb, SL, u_vav_b, v_vav_b,
+                         SMB, BMB, LMB, AMB, fraction_margin, mask_noice,
+                         dt, dHi_dt_target, bc_masks=None):
+    """Explicit thickness rates (conservation_of_mass_explicit.f90:24).
+
+    Returns (dHi_dt, Hi_tplusdt, divQ). The reference's flux-limited-dt
+    clamp is a no-op in practice (its dt_lim formula divides by
+    max(dHi_dt, 1e-9) with dHi_dt < 0, yielding huge limits), so dt is
+    taken as given.
+    """
+    divQ = calc_divQ_upwind(md, Hi, u_vav_b, v_vav_b, fraction_margin)
+    dHi_dt = (-divQ + fraction_margin * (SMB + BMB - dHi_dt_target) + LMB)
+    Hi_tplusdt = jnp.maximum(0.0, Hi + dHi_dt * dt)
+    Hi_tplusdt = apply_ice_thickness_BC_explicit(C, md, mask_noice, Hb, SL,
+                                                 Hi_tplusdt, bc_masks)
+    Hi_tplusdt = jnp.where(mask_noice, 0.0, Hi_tplusdt)
+    # effective applied rate after safeties
+    dHi_dt = (Hi_tplusdt - Hi) / dt
+    return dHi_dt, Hi_tplusdt, divQ
+
+
+def calc_critical_timestep_adv(C, md: MeshData, Hi, mask_floating,
+                               u_vav_b, v_vav_b):
+    """Advective CFL timestep over edges (time_step_criteria.f90:80)."""
+    u_c = map_b_to_c(md, u_vav_b)
+    v_c = map_b_to_c(md, v_vav_b)
+    vi = md.EV[:, 0]
+    vj = md.EV[:, 1]
+    has_ice = (Hi[vi] > 0.0) & (Hi[vj] > 0.0)
+    if C.do_grounded_only_adv_dt:
+        has_ice = has_ice & ~(mask_floating[vi] | mask_floating[vj])
+    dist = jnp.linalg.norm(md.V[vi] - md.V[vj], axis=1)
+    dt = dist / jnp.maximum(0.1, jnp.abs(u_c) + jnp.abs(v_c)) * 0.9
+    dt = jnp.where(has_ice, dt, C.dt_ice_max)
+    return jnp.minimum(C.dt_ice_max, dt.min())

@@ -1,0 +1,231 @@
+"""Predictor-corrector ice-thickness time stepping (Robinson et al. 2020).
+
+Re-design of src/UFEMISM/ice_dynamics/time_stepping/
+predictor_corrector_scheme.f90:34-326 as a single jitted state->state
+function: the truncation-error retry loop becomes a lax.while_loop whose
+carry holds (dt, iterate fields); the adaptive dt controller (Eq. 33), the
+predictor (Eq. 30), stress-balance solve on the predicted geometry, and the
+corrector all run on-device in one XLA program per ice-dynamics step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh_data import MeshData
+from .geometry import ice_surface_elevation, thickness_above_flotation
+from .masks import determine_masks, calc_mask_noice
+from .subgrid import (calc_effective_thickness,
+                      calc_grounded_fractions_bilin_TAF,
+                      calc_grounded_fractions_b_from_a)
+from .rheology import calc_ice_rheology_glen
+from .mass import (calc_dHi_dt_explicit, calc_critical_timestep_adv,
+                   make_bc_masks)
+from .state import IceState, PCState
+from . import sia as sia_mod
+
+
+class _PCCarry(NamedTuple):
+    it: jnp.ndarray
+    dt: jnp.ndarray
+    eta: jnp.ndarray
+    Hi_star: jnp.ndarray
+    Hi_np1: jnp.ndarray
+    dHdt_n: jnp.ndarray
+    dHdt_np1: jnp.ndarray
+    u_vav_b: jnp.ndarray
+    v_vav_b: jnp.ndarray
+    u_3D_b: jnp.ndarray
+    v_3D_b: jnp.ndarray
+    divQ: jnp.ndarray
+    n_visc_its: jnp.ndarray
+    n_Axb_its: jnp.ndarray
+    done: jnp.ndarray
+
+
+def make_solve_stress_balance(C, md: MeshData):
+    """Velocity solver dispatch (conservation_of_momentum_main.f90:37).
+
+    Returns fn(Hi, Hs, Hb, SL, Ti, state) ->
+      (u_vav_b, v_vav_b, u_3D_b, v_3D_b, n_visc_its, n_Axb_its).
+    """
+    choice = C.choice_stress_balance_approximation
+
+    if choice == "none":
+        def solve(Hi, Hs, Hb, SL, Ti, s):
+            z = jnp.zeros_like(s.u_vav_b)
+            z3 = jnp.zeros_like(s.u_3D_b)
+            return z, z, z3, z3, jnp.int32(0), jnp.int32(0)
+        return solve
+
+    if choice == "SIA":
+        def solve(Hi, Hs, Hb, SL, Ti, s):
+            masks = determine_masks(md, Hi, Hb, SL)
+            A_flow = calc_ice_rheology_glen(
+                C, md, Hi, Hs, Ti, masks["mask_grounded_ice"],
+                masks["mask_floating_ice"])
+            u3, v3, _, _, _, uv, vv = sia_mod.solve_SIA(C, md, Hi, Hs, A_flow)
+            return uv, vv, u3, v3, jnp.int32(0), jnp.int32(0)
+        return solve
+
+    if choice in ("SSA", "DIVA", "SIA/SSA"):
+        from .ssadiva import make_solve_ssa_diva
+        return make_solve_ssa_diva(C, md, choice)
+
+    raise ValueError(
+        f"stress balance '{choice}' not implemented yet")
+
+
+def make_pc_step(C, md: MeshData):
+    """Build the jitted PC step: (state, dt_max) -> state."""
+    eps = C.pc_epsilon
+    k_I, k_p = C.pc_k_I, C.pc_k_p
+    eta_min = C.pc_eta_min
+    dt_min = C.dt_ice_min
+    dt_maxc = C.dt_ice_max
+    growth = C.pc_max_time_step_increase
+    nit_max = C.pc_nit_max
+
+    solve_stress_balance = make_solve_stress_balance(C, md)
+    mask_noice = calc_mask_noice(md, C.choice_mask_noice)
+    bc_masks = make_bc_masks(C, md)
+
+    zerosSMB = jnp.zeros(md.nV, md.A.dtype)
+
+    def pc_step(s: IceState, dt_max, SMB=None, BMB=None, LMB=None, AMB=None):
+        SMB = zerosSMB if SMB is None else SMB
+        BMB = zerosSMB if BMB is None else BMB
+        LMB = zerosSMB if LMB is None else LMB
+
+        Hb, SL, Ti = s.Hb, s.SL, s.Ti
+
+        # -- new time step (Robinson 2020 Eq. 33) --------------------------
+        dt_n = s.pc.dt_np1
+        dt = ((eps / s.pc.eta_np1) ** (k_I + k_p)
+              * (eps / s.pc.eta_n) ** (-k_p) * dt_n)
+        dt = jnp.minimum(dt, dt_max)
+        dt = jnp.minimum(dt, growth * dt_n)
+        dt = jnp.maximum(dt, dt_min)
+
+        # previous state
+        Hi_prev = jnp.where(mask_noice, 0.0, s.Hi_next)
+        dHdt_nm1 = jnp.where(mask_noice, 0.0, s.dHi_dt)
+        eta_n = s.pc.eta_np1
+
+        masks_prev = determine_masks(md, Hi_prev, Hb, SL)
+        dt_crit = calc_critical_timestep_adv(
+            C, md, Hi_prev, masks_prev["mask_floating_ice"],
+            s.u_vav_b, s.v_vav_b)
+        dt = jnp.minimum(dt, dt_crit)
+
+        fraction_gr = calc_grounded_fractions_bilin_TAF(
+            md, Hi_prev, Hb, SL, masks_prev["mask_floating_ice"])
+        Hi_eff, fraction_margin = calc_effective_thickness(md, Hi_prev, Hb, SL)
+
+        # truncation-error mask: interior grounded, fully grounded, not GL
+        tau_mask = (masks_prev["mask_grounded_ice"]
+                    & ~masks_prev["mask_gl_gr"] & (fraction_gr == 1.0))
+
+        def body(c: _PCCarry) -> _PCCarry:
+            dt_i = c.dt
+            zeta_t = dt_i / dt_n
+
+            # == predictor (old velocities) ==
+            dHdt_n_raw, _, _ = calc_dHi_dt_explicit(
+                C, md, Hi_prev, Hb, SL, s.u_vav_b, s.v_vav_b,
+                SMB, BMB, LMB, None, fraction_margin, mask_noice,
+                dt_i, s.dHi_dt_target, bc_masks)
+            Hi_star = Hi_prev + dt_i * ((1 + zeta_t / 2) * dHdt_n_raw
+                                        - (zeta_t / 2) * dHdt_nm1)
+            Hi_star = jnp.maximum(0.0, jnp.where(mask_noice, 0.0, Hi_star))
+            dHdt_n = (((Hi_star - Hi_prev) / dt_i
+                       + (zeta_t / 2) * dHdt_nm1) / (1 + zeta_t / 2))
+
+            # == stress balance on predicted geometry ==
+            Hs_star = ice_surface_elevation(Hi_star, Hb, SL)
+            uv, vv, u3, v3, nvi, nai = solve_stress_balance(
+                Hi_star, Hs_star, Hb, SL, Ti, s)
+
+            # == corrector (original geometry, new velocities) ==
+            dHdt_np1_raw, _, divQ = calc_dHi_dt_explicit(
+                C, md, Hi_prev, Hb, SL, uv, vv,
+                SMB, BMB, LMB, None, fraction_margin, mask_noice,
+                dt_i, s.dHi_dt_target, bc_masks)
+            Hi_np1 = Hi_prev + (dt_i / 2) * (dHdt_n + dHdt_np1_raw)
+            Hi_np1 = jnp.maximum(0.0, jnp.where(mask_noice, 0.0, Hi_np1))
+            dHdt_np1 = (Hi_np1 - Hi_prev) / (dt_i / 2) - dHdt_n
+
+            # == truncation error (Eq. 32) ==
+            tau = zeta_t * jnp.abs(Hi_np1 - Hi_star) / ((3 * zeta_t + 3) * dt_n)
+            eta = jnp.maximum(eta_min, jnp.where(tau_mask, tau, 0.0).max())
+
+            ok = eta < eps
+            at_min = dt_i <= dt_min
+            done = ok | at_min
+            eta_out = jnp.where(ok, eta, jnp.where(at_min, 0.95 * eps, eta))
+            dt_next = jnp.where(done, dt_i,
+                                jnp.maximum(dt_i * 0.8, dt_min))
+            return _PCCarry(
+                it=c.it + 1, dt=dt_next, eta=eta_out,
+                Hi_star=Hi_star, Hi_np1=Hi_np1,
+                dHdt_n=dHdt_n, dHdt_np1=dHdt_np1,
+                u_vav_b=uv, v_vav_b=vv, u_3D_b=u3, v_3D_b=v3, divQ=divQ,
+                n_visc_its=c.n_visc_its + nvi, n_Axb_its=c.n_Axb_its + nai,
+                done=done)
+
+        def cond(c: _PCCarry):
+            return (~c.done) & (c.it < nit_max)
+
+        init = _PCCarry(
+            it=jnp.int32(0), dt=dt, eta=s.pc.eta_np1,
+            Hi_star=Hi_prev, Hi_np1=Hi_prev,
+            dHdt_n=dHdt_nm1, dHdt_np1=dHdt_nm1,
+            u_vav_b=s.u_vav_b, v_vav_b=s.v_vav_b,
+            u_3D_b=s.u_3D_b, v_3D_b=s.v_3D_b, divQ=s.divQ,
+            n_visc_its=jnp.int32(0), n_Axb_its=jnp.int32(0),
+            done=jnp.asarray(False))
+        out = jax.lax.while_loop(cond, body, init)
+
+        # -- finalise: new prediction window -------------------------------
+        t_next = s.t_Hi_next + out.dt
+        Hi_next = out.Hi_np1
+        dHi_dt = (Hi_next - Hi_prev) / out.dt
+
+        return s.replace(
+            t_Hi_prev=s.t_Hi_next, t_Hi_next=t_next,
+            Hi_prev=Hi_prev, Hi_next=Hi_next,
+            dHi_dt=dHi_dt, divQ=out.divQ,
+            u_vav_b=out.u_vav_b, v_vav_b=out.v_vav_b,
+            u_3D_b=out.u_3D_b, v_3D_b=out.v_3D_b,
+            fraction_margin=fraction_margin, fraction_gr=fraction_gr,
+            fraction_gr_b=calc_grounded_fractions_b_from_a(md, md.Tri,
+                                                           fraction_gr),
+            Hi_eff=Hi_eff,
+            mask_noice=mask_noice,
+            pc=PCState(dt_n=dt_n, dt_np1=out.dt,
+                       eta_n=eta_n, eta_np1=out.eta,
+                       dHi_dt_Hi_nm1_u_nm1=dHdt_nm1),
+            dt_ice=out.dt,
+            n_visc_its=s.n_visc_its + out.n_visc_its,
+            n_Axb_its=s.n_Axb_its + out.n_Axb_its,
+            **masks_prev,
+        )
+
+    return jax.jit(pc_step)
+
+
+def interpolate_ice_to_time(s: IceState, t):
+    """Hi at model time t inside the prediction window + derived geometry
+    (ice_dynamics_main.f90:114-121)."""
+    w = jnp.where(s.t_Hi_next > s.t_Hi_prev,
+                  (t - s.t_Hi_prev) / jnp.maximum(s.t_Hi_next - s.t_Hi_prev,
+                                                  1e-30), 1.0)
+    w = jnp.clip(w, 0.0, 1.0)
+    Hi = (1 - w) * s.Hi_prev + w * s.Hi_next
+    Hs = ice_surface_elevation(Hi, s.Hb, s.SL)
+    return s.replace(Hi=Hi, Hs=Hs, Hib=Hs - Hi,
+                     TAF=thickness_above_flotation(Hi, s.Hb, s.SL))

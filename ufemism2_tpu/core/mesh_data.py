@@ -1,0 +1,168 @@
+"""Device-resident mesh data: the pytree every kernel closes over.
+
+Bridges the host-side Mesh (numpy, ragged) to TPU-friendly static-shape
+jnp arrays: padded neighbour tables, ELL operators, border masks. This
+replaces the reference's type_mesh-with-CSR-members carried through every
+subroutine (mesh_types.f90); here it is an immutable pytree captured by
+jitted step functions, so XLA constant-folds the connectivity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sparse import EllMatrix, ell_from_csr
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class MeshData:
+    # geometry
+    V: Any          # [nV,2]
+    TriGC: Any      # [nTri,2]
+    A: Any          # [nV] Voronoi areas
+    TriA: Any       # [nTri]
+    R: Any          # [nV] resolution
+    zeta: Any       # [nz]
+    zeta_stag: Any  # [nz-1]
+
+    # vertex connectivity (padded; pad entries point at 0 with mask False)
+    C: Any          # [nV,K] int32 neighbour vertex
+    mask_C: Any     # [nV,K] bool
+    VE: Any         # [nV,K] int32 edge per connection
+    Cw: Any         # [nV,K] shared Voronoi boundary length
+    D_x: Any        # [nV,K]
+    D_y: Any
+    D: Any
+
+    # triangles
+    Tri: Any        # [nTri,3] int32 vertex indices
+
+    # edges
+    EV: Any         # [nE,2] int32
+    ETri: Any       # [nE,2] int32 (pad -> 0)
+    mask_ETri: Any  # [nE,2] bool
+
+    # border
+    VBI: Any        # [nV] int32
+    border_N: Any   # [nV] bool (VBI 1,2)
+    border_E: Any   # (3,4)
+    border_S: Any   # (5,6)
+    border_W: Any   # (7,8)
+
+    # operators (ELL)
+    M_ddx_a_a: EllMatrix
+    M_ddy_a_a: EllMatrix
+    M_map_a_b: EllMatrix
+    M_ddx_a_b: EllMatrix
+    M_ddy_a_b: EllMatrix
+    M_map_b_a: EllMatrix
+    M_ddx_b_a: EllMatrix
+    M_ddy_b_a: EllMatrix
+    M_ddx_b_b: EllMatrix
+    M_ddy_b_b: EllMatrix
+    M2_ddx_b_b: EllMatrix
+    M2_ddy_b_b: EllMatrix
+    M2_d2dx2_b_b: EllMatrix
+    M2_d2dxdy_b_b: EllMatrix
+    M2_d2dy2_b_b: EllMatrix
+
+    def tree_flatten(self):
+        fs = fields(self)
+        return tuple(getattr(self, f.name) for f in fs), tuple(f.name for f in fs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(**dict(zip(aux, children)))
+
+    @property
+    def nV(self):
+        return self.V.shape[0]
+
+    @property
+    def nTri(self):
+        return self.TriGC.shape[0]
+
+    @property
+    def nE(self):
+        return self.EV.shape[0]
+
+    @property
+    def nz(self):
+        return self.zeta.shape[0]
+
+
+def build_mesh_data(mesh, dtype=None) -> MeshData:
+    """Construct device MeshData from a host Mesh (builds operators if
+    absent)."""
+    if mesh.operators is None:
+        from ..mesh.operators import build_all_matrix_operators
+        mesh.operators = build_all_matrix_operators(mesh)
+    ops = mesh.operators
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    f = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
+    i = lambda a: jnp.asarray(np.asarray(a), dtype=jnp.int32)
+
+    mask_C = mesh.C >= 0
+    C = np.where(mask_C, mesh.C, 0)
+    VE = np.where(mesh.VE >= 0, mesh.VE, 0)
+    mask_ETri = mesh.ETri >= 0
+    ETri = np.where(mask_ETri, mesh.ETri, 0)
+
+    vbi = mesh.VBI
+    e = lambda A: ell_from_csr(A, dtype=dtype)
+
+    return MeshData(
+        V=f(mesh.V), TriGC=f(mesh.TriGC), A=f(mesh.A), TriA=f(mesh.TriA),
+        R=f(mesh.R), zeta=f(mesh.zeta), zeta_stag=f(mesh.zeta_stag),
+        C=i(C), mask_C=jnp.asarray(mask_C), VE=i(VE),
+        Cw=f(np.where(mask_C, mesh.Cw, 0.0)),
+        D_x=f(mesh.D_x), D_y=f(mesh.D_y), D=f(mesh.D),
+        Tri=i(mesh.Tri),
+        EV=i(mesh.EV), ETri=i(ETri), mask_ETri=jnp.asarray(mask_ETri),
+        VBI=i(vbi),
+        border_N=jnp.asarray((vbi == 1) | (vbi == 2)),
+        border_E=jnp.asarray((vbi == 3) | (vbi == 4)),
+        border_S=jnp.asarray((vbi == 5) | (vbi == 6)),
+        border_W=jnp.asarray((vbi == 7) | (vbi == 8)),
+        M_ddx_a_a=e(ops.M_ddx_a_a), M_ddy_a_a=e(ops.M_ddy_a_a),
+        M_map_a_b=e(ops.M_map_a_b), M_ddx_a_b=e(ops.M_ddx_a_b),
+        M_ddy_a_b=e(ops.M_ddy_a_b),
+        M_map_b_a=e(ops.M_map_b_a), M_ddx_b_a=e(ops.M_ddx_b_a),
+        M_ddy_b_a=e(ops.M_ddy_b_a),
+        M_ddx_b_b=e(ops.M_ddx_b_b), M_ddy_b_b=e(ops.M_ddy_b_b),
+        M2_ddx_b_b=e(ops.M2_ddx_b_b), M2_ddy_b_b=e(ops.M2_ddy_b_b),
+        M2_d2dx2_b_b=e(ops.M2_d2dx2_b_b),
+        M2_d2dxdy_b_b=e(ops.M2_d2dxdy_b_b),
+        M2_d2dy2_b_b=e(ops.M2_d2dy2_b_b),
+    )
+
+
+# -- common neighbour-gather helpers ----------------------------------------
+
+def gather_neighbours(md: MeshData, x):
+    """x[C] with padding masked to 0; x is [nV] or [nV, d]."""
+    g = x[md.C]
+    m = md.mask_C if g.ndim == 2 else md.mask_C[..., None]
+    return jnp.where(m, g, 0)
+
+
+def map_b_to_c(md: MeshData, u_b):
+    """b-grid (triangles) -> c-grid (edges) velocity mapping.
+
+    Mean of the two adjacent triangles; one-sided at border edges
+    (reference map_velocities_from_b_to_c_2D, map_velocities_to_c_grid.f90:44).
+    """
+    vals = u_b[md.ETri]                       # [nE,2]
+    m = md.mask_ETri
+    s = jnp.where(m, vals, 0).sum(axis=1)
+    n = m.sum(axis=1)
+    return s / jnp.maximum(n, 1)
