@@ -1,0 +1,500 @@
+"""SSA / DIVA stress balance: matrix-free viscosity iteration + Krylov solve.
+
+TPU-native re-design of the reference's SSA/DIVA machinery
+(src/UFEMISM/ice_dynamics/conservation_of_momentum/SSA_DIVA/): instead of
+assembling a 2nTri x 2nTri CSR stiffness matrix per viscosity iteration and
+calling PETSc (solve_linearised_SSA_DIVA_infinite_slab.f90), the linearised
+momentum operator
+
+  u-row: 4 N d2u/dx2 + 4 dN/dx du/dx + N d2u/dy2 + dN/dy du/dy - beta_eff u
+       + 3 N d2v/dxdy + 2 dN/dx dv/dy + dN/dy dv/dx  = -tau_dx
+  v-row: symmetric
+
+is applied matrix-free: 10 ELL SpMVs with the M2_* operators scaled by the
+per-triangle fields (N, dN/dx, dN/dy, beta_eff), solved by BiCGSTAB with a
+2x2 block-Jacobi preconditioner under lax.while_loop. The whole viscosity
+iteration (DIVA_solver_infinite_slab.f90:52-231) including the adaptive
+relaxation rescue ladder is one on-device while_loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh_data import MeshData
+from ...utils.constants import ice_density, grav
+from ...mesh.zeta import integrate_from_base_up, vertical_average
+from ...ops.krylov import bicgstab, gmres
+from .masks import determine_masks
+from .rheology import calc_ice_rheology_glen
+from .subgrid import (calc_grounded_fractions_bilin_TAF,
+                      calc_grounded_fractions_b_from_a,
+                      calc_effective_thickness)
+from .sliding import calc_basal_friction_coefficient
+from . import sia as sia_mod
+
+
+# ---------------------------------------------------------------------------
+# Host-side static data: triangle border indices + BC row classification
+# ---------------------------------------------------------------------------
+
+def calc_TriBI(mesh) -> np.ndarray:
+    """Triangle border indices by tracing the domain border
+    (mesh_secondary.f90:72 calc_TriBI)."""
+    TriBI = np.zeros(mesh.nTri, dtype=np.int32)
+    vbi = mesh.VBI
+    sw = np.where(vbi == 6)[0]
+    assert len(sw) > 0, "no southwest corner vertex"
+    vi_sw = int(sw[0])
+    vi = vi_sw
+    corners = {}
+    for _ in range(mesh.nV + 1):
+        for t in mesh.iTri[vi][: mesh.niTri[vi]]:
+            TriBI[t] = vbi[vi]
+        vi = int(mesh.C[vi, mesh.nC[vi] - 1])
+        if vbi[vi] in (2, 4, 8):
+            corners[vbi[vi]] = vi
+        if vi == vi_sw:
+            break
+    for code, cv in {6: vi_sw, **corners}.items():
+        if mesh.niTri[cv] == 1:
+            TriBI[mesh.iTri[cv, 0]] = code
+    return TriBI
+
+
+class _BCData(NamedTuple):
+    free: np.ndarray       # [nTri] bool: interior rows (solve the PDE)
+    zero_u: np.ndarray     # identity rows, rhs 0
+    zero_v: np.ndarray
+    inf_u: np.ndarray      # mean-of-neighbours rows, rhs 0
+    inf_v: np.ndarray
+    fix_u: np.ndarray      # identity rows, rhs = weighted copy of prev sol
+    fix_v: np.ndarray
+    copy_inds: np.ndarray  # [nTri, Kc] source triangles for fixed rows
+    copy_w: np.ndarray     # [nTri, Kc] weights (normalised 1/d^2)
+
+
+def _copy_tables(mesh, rows, targets):
+    """For each row triangle, inverse-distance weights over the triangles
+    around the vertex whose Voronoi cell contains the target point
+    (find_ti_copy_* pattern, mesh_utilities.f90:2623,2681)."""
+    from scipy.spatial import cKDTree
+    Kc = int(mesh.niTri.max())
+    copy_inds = np.zeros((mesh.nTri, Kc), dtype=np.int64)
+    copy_w = np.zeros((mesh.nTri, Kc))
+    if len(rows) == 0:
+        return copy_inds, copy_w
+    vtree = cKDTree(mesh.V)      # nearest vertex == containing Voronoi cell
+    _, vis = vtree.query(targets)
+    for k, (r, vi) in enumerate(zip(rows, vis)):
+        ni = mesh.niTri[vi]
+        tjs = mesh.iTri[vi, :ni]
+        d = np.linalg.norm(mesh.TriGC[tjs] - targets[k], axis=1)
+        w = 1.0 / np.maximum(d, 1e-3) ** 2
+        copy_inds[r, :ni] = tjs
+        copy_w[r, :ni] = w / w.sum()
+    return copy_inds, copy_w
+
+
+def make_bc_data(C, mesh) -> _BCData:
+    """Classify border-triangle rows by the configured velocity BCs
+    (solve_linearised_SSA_DIVA_infinite_slab.f90:109-134,481-641)."""
+    TriBI = calc_TriBI(mesh)
+    sides = {"north": (1, 2), "east": (3, 4), "south": (5, 6), "west": (7, 8)}
+    nTri = mesh.nTri
+    masks = {f"{c}_{t}": np.zeros(nTri, bool)
+             for c in ("u", "v") for t in ("zero", "inf", "per", "ice")}
+    for side, codes in sides.items():
+        on = np.isin(TriBI, codes)
+        for comp in ("u", "v"):
+            bc = getattr(C, f"BC_{comp}_{side}")
+            if bc == "zero":
+                masks[f"{comp}_zero"] |= on
+            elif bc == "infinite":
+                masks[f"{comp}_inf"] |= on
+            elif bc == "periodic_ISMIP-HOM":
+                masks[f"{comp}_per"] |= on
+            elif bc == "infinite_SSA_icestream":
+                masks[f"{comp}_ice"] |= on
+            else:
+                raise ValueError(f"unknown BC_{comp}_{side} '{bc}'")
+    free = TriBI == 0
+
+    # fixed-row copy tables (periodic ISMIP-HOM and SSA-icestream rows both
+    # copy the previous solution from an interior point)
+    fix_u = masks["u_per"] | masks["u_ice"]
+    fix_v = masks["v_per"] | masks["v_ice"]
+    rows = np.where(fix_u | fix_v)[0]
+    gc = mesh.TriGC
+    targets = gc[rows].copy()
+    per_rows = (masks["u_per"] | masks["v_per"])[rows]
+    ice_rows = (masks["u_ice"] | masks["v_ice"])[rows]
+    L = C.refgeo_idealised_ISMIP_HOM_L
+    # periodic: displace by -+L/2 toward the domain centre
+    targets[per_rows, 0] += np.where(gc[rows][per_rows, 0] > 0, -L / 2, L / 2)
+    targets[per_rows, 1] += np.where(gc[rows][per_rows, 1] > 0, -L / 2, L / 2)
+    # icestream: copy from x = 1/3 or 2/3 across the domain, same y
+    x13 = mesh.xmin + (mesh.xmax - mesh.xmin) / 3.0
+    x23 = mesh.xmin + (mesh.xmax - mesh.xmin) * 2.0 / 3.0
+    targets[ice_rows, 0] = np.where(gc[rows][ice_rows, 0] < 0, x13, x23)
+    copy_inds, copy_w = _copy_tables(mesh, rows, targets)
+
+    return _BCData(free, masks["u_zero"], masks["v_zero"],
+                   masks["u_inf"], masks["v_inf"],
+                   fix_u, fix_v, copy_inds, copy_w)
+
+
+# ---------------------------------------------------------------------------
+# The solver factory
+# ---------------------------------------------------------------------------
+
+class _ViscCarry(NamedTuple):
+    u: jnp.ndarray
+    v: jnp.ndarray
+    u_base: jnp.ndarray
+    v_base: jnp.ndarray
+    tau_bx: jnp.ndarray
+    tau_by: jnp.ndarray
+    eta_3D_b: jnp.ndarray
+    beta_b_a: jnp.ndarray       # a-grid friction coefficient
+    F1_3D_b: jnp.ndarray
+    F2_b1: jnp.ndarray          # F2 at base on b-grid
+    relax: jnp.ndarray
+    eps_sq0: jnp.ndarray
+    L2: jnp.ndarray
+    n_diverg: jnp.ndarray
+    it: jnp.ndarray
+    n_axb: jnp.ndarray
+    done: jnp.ndarray
+
+
+def make_solve_ssa_diva(C, md: MeshData, choice: str):
+    """Build the stress-balance solve function for SSA / DIVA / SIA+SSA.
+
+    Returned fn(Hi, Hs, Hb, SL, Ti, s) ->
+      (u_vav_b, v_vav_b, u_3D_b, v_3D_b, n_visc_its, n_Axb_its).
+    """
+    is_diva = choice == "DIVA"
+    with_sia = choice == "SIA/SSA"
+    n_glen = C.Glens_flow_law_exponent
+    no_sliding = C.choice_sliding_law == "no_sliding"
+    mesh = md._host_mesh  # set by build_mesh_data
+    bc = make_bc_data(C, mesh)
+
+    f = lambda a: jnp.asarray(a)
+    bc_free = f(bc.free)
+    bc_zero_u, bc_zero_v = f(bc.zero_u), f(bc.zero_v)
+    bc_inf_u, bc_inf_v = f(bc.inf_u), f(bc.inf_v)
+    bc_fix_u, bc_fix_v = f(bc.fix_u), f(bc.fix_v)
+    has_fix = bool(bc.fix_u.any() or bc.fix_v.any())
+    copy_inds = jnp.asarray(bc.copy_inds, jnp.int32)
+    copy_w = jnp.asarray(bc.copy_w, md.A.dtype)
+
+    # neighbour-mean helper for 'infinite' rows
+    mask_TriC = mesh.TriC >= 0
+    TriC = jnp.asarray(np.where(mask_TriC, mesh.TriC, 0), jnp.int32)
+    mTriC = jnp.asarray(mask_TriC)
+    n_nbr = jnp.asarray(mask_TriC.sum(axis=1), md.A.dtype)
+
+    # diagonals of the M2 operators (for the block-Jacobi preconditioner)
+    def _diag(M):
+        A = M  # scipy CSR on host
+        return jnp.asarray(A.diagonal(), md.A.dtype)
+    ops = mesh.operators
+    d_ddx = _diag(ops.M2_ddx_b_b)
+    d_ddy = _diag(ops.M2_ddy_b_b)
+    d_dxx = _diag(ops.M2_d2dx2_b_b)
+    d_dxy = _diag(ops.M2_d2dxdy_b_b)
+    d_dyy = _diag(ops.M2_d2dy2_b_b)
+
+    zeta = md.zeta
+    nz = md.nz
+
+    def nbr_mean_residual(x):
+        """sum(x[nbrs]) - n*x (the 'infinite' BC row)."""
+        s = jnp.where(mTriC, x[TriC], 0.0).sum(axis=1)
+        return s - n_nbr * x
+
+    def make_A(N_b, dN_dx_b, dN_dy_b, beta_eff_b):
+        M2x, M2y = md.M2_ddx_b_b, md.M2_ddy_b_b
+        Mxx, Mxy, Myy = md.M2_d2dx2_b_b, md.M2_d2dxdy_b_b, md.M2_d2dy2_b_b
+
+        def A(uv):
+            u, v = uv
+            ddx_u, ddy_u = M2x @ u, M2y @ u
+            dxx_u, dxy_u, dyy_u = Mxx @ u, Mxy @ u, Myy @ u
+            ddx_v, ddy_v = M2x @ v, M2y @ v
+            dxx_v, dxy_v, dyy_v = Mxx @ v, Mxy @ v, Myy @ v
+
+            Au = (4 * N_b * dxx_u + 4 * dN_dx_b * ddx_u
+                  + N_b * dyy_u + dN_dy_b * ddy_u - beta_eff_b * u
+                  + 3 * N_b * dxy_v + 2 * dN_dx_b * ddy_v + dN_dy_b * ddx_v)
+            Av = (4 * N_b * dyy_v + 4 * dN_dy_b * ddy_v
+                  + N_b * dxx_v + dN_dx_b * ddx_v - beta_eff_b * v
+                  + 3 * N_b * dxy_u + 2 * dN_dy_b * ddx_u + dN_dx_b * ddy_u)
+
+            # BC rows: zero/fixed -> identity; infinite -> neighbour mean
+            Au = jnp.where(bc_free, Au, jnp.where(
+                bc_inf_u, nbr_mean_residual(u), u))
+            Av = jnp.where(bc_free, Av, jnp.where(
+                bc_inf_v, nbr_mean_residual(v), v))
+            return (Au, Av)
+        return A
+
+    def make_precond(N_b, dN_dx_b, dN_dy_b, beta_eff_b):
+        """2x2 block-Jacobi: invert the per-triangle (u,v) diagonal block."""
+        auu = (4 * N_b * d_dxx + 4 * dN_dx_b * d_ddx
+               + N_b * d_dyy + dN_dy_b * d_ddy - beta_eff_b)
+        auv = 3 * N_b * d_dxy + 2 * dN_dx_b * d_ddy + dN_dy_b * d_ddx
+        avu = 3 * N_b * d_dxy + 2 * dN_dy_b * d_ddx + dN_dx_b * d_ddy
+        avv = (4 * N_b * d_dyy + 4 * dN_dy_b * d_ddy
+               + N_b * d_dxx + dN_dx_b * d_ddx - beta_eff_b)
+        # BC rows: diagonal is 1 (zero/periodic) or -n (infinite)
+        auu = jnp.where(bc_free, auu, jnp.where(bc_inf_u, -n_nbr, 1.0))
+        avv = jnp.where(bc_free, avv, jnp.where(bc_inf_v, -n_nbr, 1.0))
+        auv = jnp.where(bc_free, auv, 0.0)
+        avu = jnp.where(bc_free, avu, 0.0)
+        det = auu * avv - auv * avu
+        det = jnp.where(jnp.abs(det) < 1e-300, 1e-300, det)
+
+        def M(r):
+            ru, rv = r
+            return ((avv * ru - auv * rv) / det,
+                    (-avu * ru + auu * rv) / det)
+        return M
+
+    def solve(Hi, Hs, Hb, SL, Ti, s):
+        masks = determine_masks(md, Hi, Hb, SL)
+        A_flow = calc_ice_rheology_glen(C, md, Hi, Hs, Ti,
+                                        masks["mask_grounded_ice"],
+                                        masks["mask_floating_ice"])
+        fraction_gr = calc_grounded_fractions_bilin_TAF(
+            md, Hi, Hb, SL, masks["mask_floating_ice"])
+        fraction_gr_b = calc_grounded_fractions_b_from_a(md, md.Tri,
+                                                         fraction_gr)
+        Hi_eff, _ = calc_effective_thickness(md, Hi, Hb, SL)
+        Hs_slope = jnp.sqrt((md.M_ddx_a_a @ Hs) ** 2
+                            + (md.M_ddy_a_a @ Hs) ** 2)
+
+        # driving stress (SSA_DIVA_utilities.f90:24)
+        Hi_b = md.M_map_a_b @ Hi
+        tau_dx_b = -ice_density * grav * Hi_b * (md.M_ddx_a_b @ Hs)
+        tau_dy_b = -ice_density * grav * Hi_b * (md.M_ddy_a_b @ Hs)
+
+        bed_roughness = _bed_roughness_fields(C, md)
+
+        Hi_reg = jnp.maximum(0.1, Hi)
+
+        def body(c: _ViscCarry) -> _ViscCarry:
+            # horizontal strain rates on the a-grid
+            du_dx_a = md.M_ddx_b_a @ c.u
+            du_dy_a = md.M_ddy_b_a @ c.u
+            dv_dx_a = md.M_ddx_b_a @ c.v
+            dv_dy_a = md.M_ddy_b_a @ c.v
+
+            # vertical shear strain rates (DIVA only; Lipscomb 2019 Eq. 36)
+            if is_diva:
+                du_dz_b = (c.tau_bx[:, None] * zeta[None, :]
+                           / jnp.maximum(C.visc_eff_min, c.eta_3D_b))
+                dv_dz_b = (c.tau_by[:, None] * zeta[None, :]
+                           / jnp.maximum(C.visc_eff_min, c.eta_3D_b))
+                du_dz_a = md.M_map_b_a @ du_dz_b
+                dv_dz_a = md.M_map_b_a @ dv_dz_b
+            else:
+                du_dz_a = jnp.zeros(A_flow.shape, A_flow.dtype)
+                dv_dz_a = jnp.zeros(A_flow.shape, A_flow.dtype)
+
+            # effective viscosity (Glen)
+            A_min = 1e-18
+            eta_max = 0.5 * A_min ** (-1.0 / n_glen) * \
+                c.eps_sq0 ** ((1.0 - n_glen) / (2.0 * n_glen))
+            eps_sq = (du_dx_a ** 2 + dv_dy_a ** 2 + du_dx_a * dv_dy_a
+                      + 0.25 * (du_dy_a + dv_dx_a) ** 2)[:, None] \
+                + 0.25 * (du_dz_a ** 2 + dv_dz_a ** 2) + c.eps_sq0
+            eta_3D_a = 0.5 * A_flow ** (-1.0 / n_glen) * \
+                eps_sq ** ((1.0 - n_glen) / (2.0 * n_glen))
+            eta_3D_a = jnp.clip(eta_3D_a, C.visc_eff_min, eta_max)
+            eta_3D_b = md.M_map_a_b @ eta_3D_a
+            eta_vav_a = vertical_average(zeta, eta_3D_a, axis=-1)
+            N_a = eta_vav_a * Hi_reg
+            N_b = md.M_map_a_b @ N_a
+            dN_dx_b = md.M_ddx_a_b @ N_a
+            dN_dy_b = md.M_ddy_a_b @ N_a
+
+            # F-integrals (Lipscomb 2019 Eq. 30) and effective friction
+            if is_diva:
+                F1_3D_a = -Hi_reg[:, None] * integrate_from_base_up(
+                    jnp.broadcast_to(zeta, eta_3D_a.shape),
+                    zeta[None, :] / eta_3D_a, axis=-1)
+                F2_3D_a = -Hi_reg[:, None] * integrate_from_base_up(
+                    jnp.broadcast_to(zeta, eta_3D_a.shape),
+                    zeta[None, :] ** 2 / eta_3D_a, axis=-1)
+                F1_3D_b = md.M_map_a_b @ F1_3D_a
+                F2_b1 = (md.M_map_a_b @ F2_3D_a[:, 0])
+                F2_a1 = F2_3D_a[:, 0]
+            else:
+                F1_3D_b = c.F1_3D_b
+                F2_b1 = jnp.zeros_like(N_b)
+                F2_a1 = jnp.zeros_like(N_a)
+
+            # sliding law -> a-grid friction coefficient
+            u_base_a = md.M_map_b_a @ c.u_base
+            v_base_a = md.M_map_b_a @ c.v_base
+            beta_b_a = calc_basal_friction_coefficient(
+                C, md, bed_roughness, u_base_a, v_base_a, Hi, Hi_eff, Hb, SL,
+                Hs_slope, fraction_gr, masks)
+
+            if is_diva:
+                if no_sliding:
+                    beta_eff_a = 1.0 / jnp.maximum(F2_a1, 1e-30)
+                else:
+                    beta_eff_a = beta_b_a / (1.0 + beta_b_a * F2_a1)
+            else:
+                beta_eff_a = beta_b_a
+            beta_eff_b = md.M_map_a_b @ beta_eff_a
+            beta_b_b = md.M_map_a_b @ beta_b_a
+            if C.do_GL_subgrid_friction:
+                beta_eff_b = beta_eff_b * \
+                    fraction_gr_b ** C.subgrid_friction_exponent_on_B_grid
+
+            # linear solve (matrix-free BiCGSTAB)
+            A = make_A(N_b, dN_dx_b, dN_dy_b, beta_eff_b)
+            M = make_precond(N_b, dN_dx_b, dN_dy_b, beta_eff_b)
+            b_u = jnp.where(bc_free, -tau_dx_b, 0.0)
+            b_v = jnp.where(bc_free, -tau_dy_b, 0.0)
+            if has_fix:
+                # fixed rows: relaxed weighted copy of the previous solution
+                # (find_ti_copy_* BCs)
+                u_fix = (copy_w * c.u[copy_inds]).sum(axis=1)
+                v_fix = (copy_w * c.v[copy_inds]).sum(axis=1)
+                u_fix = C.visc_it_relax * u_fix + (1 - C.visc_it_relax) * c.u
+                v_fix = C.visc_it_relax * v_fix + (1 - C.visc_it_relax) * c.v
+                b_u = jnp.where(bc_fix_u, u_fix, b_u)
+                b_v = jnp.where(bc_fix_v, v_fix, b_v)
+            res = gmres(A, (b_u, b_v), x0=(c.u, c.v), M=M,
+                        rtol=C.stress_balance_PETSc_rtol,
+                        abstol=C.stress_balance_PETSc_abstol)
+            u_new, v_new = res.x
+
+            # velocity limits + relaxation
+            speed = jnp.sqrt(u_new ** 2 + v_new ** 2)
+            lim = jnp.where(speed > C.vel_max, C.vel_max / speed, 1.0)
+            u_new, v_new = u_new * lim, v_new * lim
+            u_new = c.relax * u_new + (1 - c.relax) * c.u
+            v_new = c.relax * v_new + (1 - c.relax) * c.v
+
+            # basal velocities + stress
+            if is_diva:
+                if no_sliding:
+                    u_base = jnp.zeros_like(u_new)
+                    v_base = jnp.zeros_like(v_new)
+                else:
+                    u_base = u_new / (1.0 + beta_b_b * F2_b1)
+                    v_base = v_new / (1.0 + beta_b_b * F2_b1)
+                tau_bx = u_new * beta_eff_b
+                tau_by = v_new * beta_eff_b
+            else:
+                u_base, v_base = u_new, v_new
+                tau_bx = u_new * beta_eff_b
+                tau_by = v_new * beta_eff_b
+
+            # convergence: L2 norm of change (calc_L2_norm_uv)
+            res1 = ((u_new - c.u) ** 2 + (v_new - c.v) ** 2).sum()
+            res2 = ((u_new + c.u) ** 2 + (v_new + c.v) ** 2).sum()
+            L2 = 2.0 * res1 / jnp.maximum(res2, 1e-8)
+
+            diverged = L2 > c.L2
+            n_div = jnp.where(diverged, c.n_diverg + 1, 0)
+            do_rescue = n_div > 2
+            relax = jnp.where(do_rescue, c.relax * 0.9, c.relax)
+            eps_sq0 = jnp.where(do_rescue, c.eps_sq0 * 1.2, c.eps_sq0)
+            n_div = jnp.where(do_rescue, 0, n_div)
+
+            converged = L2 < C.visc_it_norm_dUV_tol
+            return _ViscCarry(
+                u=u_new, v=v_new, u_base=u_base, v_base=v_base,
+                tau_bx=tau_bx, tau_by=tau_by, eta_3D_b=eta_3D_b,
+                beta_b_a=beta_b_a, F1_3D_b=F1_3D_b, F2_b1=F2_b1,
+                relax=relax, eps_sq0=eps_sq0, L2=L2, n_diverg=n_div,
+                it=c.it + 1, n_axb=c.n_axb + res.n_iter, done=converged)
+
+        def cond(c: _ViscCarry):
+            return (~c.done) & (c.it <= C.visc_it_nit)
+
+        dtype = md.A.dtype
+        nTri = md.nTri
+        init = _ViscCarry(
+            u=s.u_vav_b, v=s.v_vav_b,
+            u_base=jnp.zeros(nTri, dtype), v_base=jnp.zeros(nTri, dtype),
+            tau_bx=jnp.zeros(nTri, dtype), tau_by=jnp.zeros(nTri, dtype),
+            eta_3D_b=jnp.full((nTri, nz), C.visc_eff_min, dtype),
+            beta_b_a=jnp.zeros(md.nV, dtype),
+            F1_3D_b=jnp.zeros((nTri, nz), dtype),
+            F2_b1=jnp.zeros(nTri, dtype),
+            relax=jnp.asarray(C.visc_it_relax, dtype),
+            eps_sq0=jnp.asarray(C.Glens_flow_law_epsilon_sq_0, dtype),
+            L2=jnp.asarray(1e9, dtype),
+            n_diverg=jnp.asarray(0, jnp.int32),
+            it=jnp.asarray(0, jnp.int32),
+            n_axb=jnp.asarray(0, jnp.int32),
+            done=jnp.asarray(False))
+        out = jax.lax.while_loop(cond, body, init)
+
+        # 3-D velocities (Lipscomb 2019 Eq. 29)
+        if is_diva:
+            beta_b_b = md.M_map_a_b @ out.beta_b_a
+            if no_sliding:
+                u_3D = out.tau_bx[:, None] * out.F1_3D_b
+                v_3D = out.tau_by[:, None] * out.F1_3D_b
+            else:
+                u_3D = out.u_base[:, None] * (1.0 + beta_b_b[:, None]
+                                              * out.F1_3D_b)
+                v_3D = out.v_base[:, None] * (1.0 + beta_b_b[:, None]
+                                              * out.F1_3D_b)
+        else:
+            u_3D = jnp.broadcast_to(out.u[:, None], (md.nTri, nz))
+            v_3D = jnp.broadcast_to(out.v[:, None], (md.nTri, nz))
+
+        u_vav, v_vav = out.u, out.v
+
+        if with_sia:
+            # hybrid SIA+SSA 'add' scheme (choice_hybrid_SIASSA_scheme)
+            u3_sia, v3_sia, _, _, _, uv_sia, vv_sia = sia_mod.solve_SIA(
+                C, md, Hi, Hs, A_flow)
+            u_vav = u_vav + uv_sia
+            v_vav = v_vav + vv_sia
+            u_3D = u_3D + u3_sia
+            v_3D = v_3D + v3_sia
+
+        return (u_vav, v_vav, u_3D, v_3D, out.it, out.n_axb)
+
+    return solve
+
+
+def _bed_roughness_fields(C, md: MeshData):
+    """Spatially uniform bed roughness from config, per sliding law
+    (full bed-roughness model with inversion arrives with the nudging
+    subsystem; reference bed_roughness_model 'uniform' choice)."""
+    nV = md.nV
+    dtype = md.A.dtype
+    law = C.choice_sliding_law
+    beta_sq = {"Weertman": C.slid_Weertman_beta_sq_uniform,
+               "Tsai2015": C.slid_Tsai2015_beta_sq_uniform,
+               "Schoof2005": C.slid_Schoof2005_beta_sq_uniform,
+               }.get(law, C.slid_Weertman_beta_sq_uniform)
+    phi = {"Coulomb": C.slid_Coulomb_phi_fric_uniform,
+           "Budd": C.slid_Budd_phi_fric_uniform,
+           "Zoet-Iverson": C.slid_ZI_phi_fric_uniform,
+           }.get(law, C.slid_Budd_phi_fric_uniform)
+    alpha_sq = {"Tsai2015": C.slid_Tsai2015_alpha_sq_uniform,
+                "Schoof2005": C.slid_Schoof2005_alpha_sq_uniform,
+                }.get(law, 0.5)
+    return {
+        "beta_sq": jnp.full(nV, beta_sq, dtype),
+        "till_friction_angle": jnp.full(nV, phi, dtype),
+        "alpha_sq": jnp.full(nV, alpha_sq, dtype),
+    }

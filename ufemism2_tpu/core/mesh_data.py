@@ -111,6 +111,8 @@ def build_mesh_data(mesh, dtype=None) -> MeshData:
     f = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
     i = lambda a: jnp.asarray(np.asarray(a), dtype=jnp.int32)
 
+    _host_mesh = mesh  # kept for solver factories needing host-side data
+
     mask_C = mesh.C >= 0
     C = np.where(mask_C, mesh.C, 0)
     VE = np.where(mesh.VE >= 0, mesh.VE, 0)
@@ -120,7 +122,7 @@ def build_mesh_data(mesh, dtype=None) -> MeshData:
     vbi = mesh.VBI
     e = lambda A: ell_from_csr(A, dtype=dtype)
 
-    return MeshData(
+    md = MeshData(
         V=f(mesh.V), TriGC=f(mesh.TriGC), A=f(mesh.A), TriA=f(mesh.TriA),
         R=f(mesh.R), zeta=f(mesh.zeta), zeta_stag=f(mesh.zeta_stag),
         C=i(C), mask_C=jnp.asarray(mask_C), VE=i(VE),
@@ -144,6 +146,8 @@ def build_mesh_data(mesh, dtype=None) -> MeshData:
         M2_d2dxdy_b_b=e(ops.M2_d2dxdy_b_b),
         M2_d2dy2_b_b=e(ops.M2_d2dy2_b_b),
     )
+    md._host_mesh = _host_mesh
+    return md
 
 
 # -- common neighbour-gather helpers ----------------------------------------

@@ -1,0 +1,250 @@
+"""Matrix-free preconditioned Krylov solvers under lax.while_loop.
+
+TPU-native replacement for the reference's PETSc KSP bridge
+(src/UPSY/basic/petsc_basic.f90:33-242): the stress-balance and
+semi-implicit-mass systems are solved by BiCGSTAB or CG with a (block-)
+Jacobi preconditioner, entirely on device, with the same convergence
+criterion (||r|| < max(rtol*||b||, abstol)) and the same 2000-iteration cap.
+Iteration counts are returned (the scoreboard's n_Axb_its metric).
+
+A is any callable x -> A@x (pytree-of-arrays in, same out); M is the
+preconditioner application (approximate A^-1).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+MAXIT_DEFAULT = 2000  # petsc_basic.f90:166 KSPSetTolerances maxit
+
+
+def _dot(a, b):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return sum((x * y).sum() for x, y in zip(leaves_a, leaves_b))
+
+
+def _axpy(alpha, x, y):
+    return jax.tree_util.tree_map(lambda a, b: alpha * a + b, x, y)
+
+
+def _scale(alpha, x):
+    return jax.tree_util.tree_map(lambda a: alpha * a, x)
+
+
+def _add(x, y):
+    return jax.tree_util.tree_map(jnp.add, x, y)
+
+
+def _sub(x, y):
+    return jax.tree_util.tree_map(jnp.subtract, x, y)
+
+
+class KrylovResult(NamedTuple):
+    x: object
+    n_iter: jnp.ndarray
+    converged: jnp.ndarray
+    res_norm: jnp.ndarray
+
+
+def bicgstab(A: Callable, b, x0=None, M: Callable = None,
+             rtol=1e-7, abstol=1e-5, maxiter=MAXIT_DEFAULT) -> KrylovResult:
+    """Preconditioned BiCGSTAB (right-preconditioned, PETSc-style norms)."""
+    if M is None:
+        M = lambda z: z
+    x0 = x0 if x0 is not None else jax.tree_util.tree_map(jnp.zeros_like, b)
+
+    b_norm = jnp.sqrt(_dot(b, b))
+    tol = jnp.maximum(rtol * b_norm, abstol)
+
+    r0 = _sub(b, A(x0))
+    rhat = r0
+
+    class S(NamedTuple):
+        x: object
+        r: object
+        p: object
+        v: object
+        rho: jnp.ndarray
+        alpha: jnp.ndarray
+        omega: jnp.ndarray
+        k: jnp.ndarray
+        rnorm: jnp.ndarray
+        breakdown: jnp.ndarray
+
+    def cond(s: S):
+        return (s.rnorm > tol) & (s.k < maxiter) & ~s.breakdown
+
+    def body(s: S):
+        rho1 = _dot(rhat, s.r)
+        denom_beta = s.rho * s.omega
+        beta = (rho1 / jnp.where(denom_beta == 0, 1e-300, denom_beta)) * \
+               (s.alpha / jnp.where(s.omega == 0, 1e-300, s.omega))
+        p = _axpy(beta, _sub(s.p, _scale(s.omega, s.v)), s.r)
+        phat = M(p)
+        v = A(phat)
+        denom = _dot(rhat, v)
+        alpha = rho1 / jnp.where(denom == 0, 1e-300, denom)
+        sres = _sub(s.r, _scale(alpha, v))
+        shat = M(sres)
+        t = A(shat)
+        tt = _dot(t, t)
+        omega = _dot(t, sres) / jnp.where(tt == 0, 1e-300, tt)
+        x = _add(s.x, _add(_scale(alpha, phat), _scale(omega, shat)))
+        r = _sub(sres, _scale(omega, t))
+        rnorm = jnp.sqrt(_dot(r, r))
+        breakdown = (jnp.abs(rho1) < 1e-300) | (jnp.abs(omega) < 1e-300) \
+            | ~jnp.isfinite(rnorm)
+        return S(x=x, r=r, p=p, v=v, rho=rho1, alpha=alpha, omega=omega,
+                 k=s.k + 1, rnorm=rnorm, breakdown=breakdown)
+
+    zero_like_b = jax.tree_util.tree_map(jnp.zeros_like, b)
+    init = S(x=x0, r=r0, p=zero_like_b, v=zero_like_b,
+             rho=jnp.asarray(1.0, b_norm.dtype),
+             alpha=jnp.asarray(1.0, b_norm.dtype),
+             omega=jnp.asarray(1.0, b_norm.dtype),
+             k=jnp.asarray(0, jnp.int32),
+             rnorm=jnp.sqrt(_dot(r0, r0)),
+             breakdown=jnp.asarray(False))
+    out = jax.lax.while_loop(cond, body, init)
+    return KrylovResult(out.x, out.k, out.rnorm <= tol, out.rnorm)
+
+
+def cg(A: Callable, b, x0=None, M: Callable = None,
+       rtol=1e-7, abstol=1e-5, maxiter=MAXIT_DEFAULT) -> KrylovResult:
+    """Preconditioned conjugate gradients (SPD systems)."""
+    if M is None:
+        M = lambda z: z
+    x0 = x0 if x0 is not None else jax.tree_util.tree_map(jnp.zeros_like, b)
+    b_norm = jnp.sqrt(_dot(b, b))
+    tol = jnp.maximum(rtol * b_norm, abstol)
+
+    r0 = _sub(b, A(x0))
+    z0 = M(r0)
+
+    class S(NamedTuple):
+        x: object
+        r: object
+        z: object
+        p: object
+        rz: jnp.ndarray
+        k: jnp.ndarray
+        rnorm: jnp.ndarray
+
+    def cond(s: S):
+        return (s.rnorm > tol) & (s.k < maxiter)
+
+    def body(s: S):
+        Ap = A(s.p)
+        denom = _dot(s.p, Ap)
+        alpha = s.rz / jnp.where(denom == 0, 1e-300, denom)
+        x = _axpy(alpha, s.p, s.x)
+        r = _axpy(-alpha, Ap, s.r)
+        z = M(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.where(s.rz == 0, 1e-300, s.rz)
+        p = _axpy(beta, s.p, z)
+        return S(x=x, r=r, z=z, p=p, rz=rz_new, k=s.k + 1,
+                 rnorm=jnp.sqrt(_dot(r, r)))
+
+    init = S(x=x0, r=r0, z=z0, p=z0, rz=_dot(r0, z0),
+             k=jnp.asarray(0, jnp.int32), rnorm=jnp.sqrt(_dot(r0, r0)))
+    out = jax.lax.while_loop(cond, body, init)
+    return KrylovResult(out.x, out.k, out.rnorm <= tol, out.rnorm)
+
+
+def gmres(A: Callable, b, x0=None, M: Callable = None,
+          rtol=1e-7, abstol=1e-5, maxiter=MAXIT_DEFAULT,
+          restart=60) -> KrylovResult:
+    """Right-preconditioned restarted GMRES(m).
+
+    More robust than BiCGSTAB on the ill-conditioned stress-balance systems
+    near the grounding line (the reference leans on PETSc's default GMRES).
+    Works on pytrees by flattening to a single vector.
+    """
+    if M is None:
+        M = lambda z: z
+    x0 = x0 if x0 is not None else jax.tree_util.tree_map(jnp.zeros_like, b)
+
+    # flatten pytree <-> vector
+    leaves, treedef = jax.tree_util.tree_flatten(b)
+    shapes = [l.shape for l in leaves]
+    sizes = [int(np.prod(s)) for s in shapes]
+    offs = np.cumsum([0] + sizes)
+
+    def flat(t):
+        return jnp.concatenate([l.reshape(-1)
+                                for l in jax.tree_util.tree_leaves(t)])
+
+    def unflat(v):
+        parts = [v[offs[i]:offs[i + 1]].reshape(shapes[i])
+                 for i in range(len(shapes))]
+        return jax.tree_util.tree_unflatten(treedef, parts)
+
+    def Af(v):
+        return flat(A(unflat(v)))
+
+    def Mf(v):
+        return flat(M(unflat(v)))
+
+    bf = flat(b)
+    xf0 = flat(x0)
+    n = bf.shape[0]
+    m = min(restart, n)
+    b_norm = jnp.linalg.norm(bf)
+    tol = jnp.maximum(rtol * b_norm, abstol)
+    dtype = bf.dtype
+
+    def arnoldi_cycle(x):
+        """One GMRES(m) cycle from x; returns (x_new, rnorm, matvecs)."""
+        r = bf - Af(x)
+        beta = jnp.linalg.norm(r)
+        Vm = jnp.zeros((m + 1, n), dtype)
+        Vm = Vm.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
+        H = jnp.zeros((m + 1, m), dtype)
+
+        def arnoldi_step(j, carry):
+            Vm, H = carry
+            w = Af(Mf(Vm[j]))
+            # modified Gram-Schmidt
+            def mgs(i, wh):
+                w, H = wh
+                hij = jnp.dot(Vm[i], w) * (i <= j)
+                H = H.at[i, j].add(hij)
+                w = w - hij * Vm[i]
+                return (w, H)
+            w, H = jax.lax.fori_loop(0, j + 1, mgs, (w, H))
+            hj1 = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hj1)
+            Vm = Vm.at[j + 1].set(w / jnp.where(hj1 < 1e-300, 1.0, hj1))
+            return (Vm, H)
+
+        Vm, H = jax.lax.fori_loop(0, m, arnoldi_step, (Vm, H))
+        # least-squares solve min ||beta e1 - H y||
+        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        y, _, _, _ = jnp.linalg.lstsq(H, e1)
+        dx = Mf(y @ Vm[:m])
+        x_new = x + dx
+        rnorm = jnp.linalg.norm(bf - Af(x_new))
+        return x_new, rnorm
+
+    class S(NamedTuple):
+        x: jnp.ndarray
+        rnorm: jnp.ndarray
+        k: jnp.ndarray
+
+    def cond(s: S):
+        return (s.rnorm > tol) & (s.k < maxiter)
+
+    def body(s: S):
+        x_new, rnorm = arnoldi_cycle(s.x)
+        return S(x=x_new, rnorm=rnorm, k=s.k + m)
+
+    r0 = jnp.linalg.norm(bf - Af(xf0))
+    out = jax.lax.while_loop(cond, body, S(x=xf0, rnorm=r0,
+                                           k=jnp.asarray(0, jnp.int32)))
+    return KrylovResult(unflat(out.x), out.k, out.rnorm <= tol, out.rnorm)
