@@ -165,8 +165,10 @@ def map_b_to_c(md: MeshData, u_b):
     Mean of the two adjacent triangles; one-sided at border edges
     (reference map_velocities_from_b_to_c_2D, map_velocities_to_c_grid.f90:44).
     """
-    vals = u_b[md.ETri]                       # [nE,2]
+    vals = u_b[md.ETri]                       # [nE,2] or [nE,2,d]
     m = md.mask_ETri
+    if vals.ndim == 3:
+        m = m[..., None]
     s = jnp.where(m, vals, 0).sum(axis=1)
     n = m.sum(axis=1)
     return s / jnp.maximum(n, 1)
