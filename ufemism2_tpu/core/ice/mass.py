@@ -135,3 +135,86 @@ def calc_critical_timestep_adv(C, md: MeshData, Hi, mask_floating,
     dt = dist / jnp.maximum(0.1, jnp.abs(u_c) + jnp.abs(v_c)) * 0.9
     dt = jnp.where(has_ice, dt, C.dt_ice_max)
     return jnp.minimum(C.dt_ice_max, dt.min())
+
+
+def make_divQ_operator(md: MeshData, u_vav_b, v_vav_b, fraction_margin):
+    """Per-connection upwind coefficients for div(Q) as a linear operator
+    in H (the reference's M_divQ matrix, assembly-free).
+
+    Returns (apply(H) -> divQ, u_perp [nV,K], diag [nV]).
+    """
+    u_c = map_b_to_c(md, u_vav_b)
+    v_c = map_b_to_c(md, v_vav_b)
+    u_e = u_c[md.VE]
+    v_e = v_c[md.VE]
+    u_perp = u_e * md.D_x / md.D + v_e * md.D_y / md.D
+
+    fm_i = fraction_margin[:, None]
+    fm_j = jnp.where(md.mask_C, fraction_margin[md.C], 0.0)
+    LcA = md.Cw / md.A[:, None]
+    out_coeff = jnp.where((fm_i >= 1.0) & md.mask_C,
+                          LcA * jnp.maximum(0.0, u_perp), 0.0)
+    in_coeff = jnp.where((fm_j >= 1.0) & md.mask_C,
+                         LcA * jnp.minimum(0.0, u_perp), 0.0)
+    diag = out_coeff.sum(axis=1)
+
+    def apply(H):
+        Hj = jnp.where(md.mask_C, H[md.C], 0.0)
+        return diag * H + (in_coeff * Hj).sum(axis=1)
+
+    return apply, u_perp, diag
+
+
+def calc_dHi_dt_semiimplicit(C, md: MeshData, Hi, Hb, SL, u_vav_b, v_vav_b,
+                             SMB, BMB, LMB, AMB, fraction_margin, mask_noice,
+                             dt, dHi_dt_target, bc_masks=None):
+    """Semi-implicit thickness update: solve
+    (I + dt fs M_divQ) H(t+dt) = Hi - dt (1-fs) divQ + dt m
+    matrix-free with BiCGSTAB (conservation_of_mass_semiimplicit.f90:25;
+    the reference uses PETSc with dHi_PETSc_rtol/abstol). Returns
+    (dHi_dt, Hi_tplusdt, divQ, n_iter)."""
+    from ...ops.krylov import bicgstab
+
+    fs = C.dHi_semiimplicit_fs
+    divQ_op, u_perp, diag = make_divQ_operator(md, u_vav_b, v_vav_b,
+                                               fraction_margin)
+    divQ = divQ_op(Hi)
+
+    m_dt = jnp.maximum(-Hi, dt * (fraction_margin
+                                  * (SMB + BMB - dHi_dt_target) + LMB))
+    b = Hi - dt * (1.0 - fs) * divQ + m_dt
+
+    def A(H):
+        return H + dt * fs * divQ_op(H)
+
+    M_pre = 1.0 / (1.0 + dt * fs * diag)
+    res = bicgstab(A, b, x0=Hi, M=lambda r: M_pre * r,
+                   rtol=C.dHi_PETSc_rtol, abstol=C.dHi_PETSc_abstol)
+    Hi_tplusdt = jnp.maximum(0.0, res.x)
+    Hi_tplusdt = apply_ice_thickness_BC_explicit(C, md, mask_noice, Hb, SL,
+                                                 Hi_tplusdt, bc_masks)
+    Hi_tplusdt = jnp.where(mask_noice, 0.0, Hi_tplusdt)
+    dHi_dt = (Hi_tplusdt - Hi) / dt
+    return dHi_dt, Hi_tplusdt, divQ, res.n_iter
+
+
+def calc_dHi_dt(C, md: MeshData, Hi, Hb, SL, u_vav_b, v_vav_b,
+                SMB, BMB, LMB, AMB, fraction_margin, mask_noice,
+                dt, dHi_dt_target, bc_masks=None):
+    """Dispatch on choice_ice_integration_method
+    (conservation_of_mass_main.f90:65-81). Returns
+    (dHi_dt, Hi_tplusdt, divQ, n_solver_its)."""
+    choice = C.choice_ice_integration_method
+    if choice == "none":
+        z = jnp.zeros_like(Hi)
+        return z, Hi, z, jnp.int32(0)
+    if choice == "explicit":
+        dHdt, Hnew, divQ = calc_dHi_dt_explicit(
+            C, md, Hi, Hb, SL, u_vav_b, v_vav_b, SMB, BMB, LMB, AMB,
+            fraction_margin, mask_noice, dt, dHi_dt_target, bc_masks)
+        return dHdt, Hnew, divQ, jnp.int32(0)
+    if choice == "semi-implicit":
+        return calc_dHi_dt_semiimplicit(
+            C, md, Hi, Hb, SL, u_vav_b, v_vav_b, SMB, BMB, LMB, AMB,
+            fraction_margin, mask_noice, dt, dHi_dt_target, bc_masks)
+    raise ValueError(f"unknown choice_ice_integration_method '{choice}'")

@@ -23,8 +23,9 @@ from .subgrid import (calc_effective_thickness,
                       calc_grounded_fractions_bilin_TAF,
                       calc_grounded_fractions_b_from_a)
 from .rheology import calc_ice_rheology_glen
-from .mass import (calc_dHi_dt_explicit, calc_critical_timestep_adv,
-                   make_bc_masks)
+from .mass import (calc_dHi_dt, calc_critical_timestep_adv,
+                   make_bc_masks, make_divQ_operator)
+from .safeties import alter_ice_thickness, calc_and_apply_spill_over_flux
 from .state import IceState, PCState
 from . import sia as sia_mod
 
@@ -80,8 +81,12 @@ def make_solve_stress_balance(C, md: MeshData):
         f"stress balance '{choice}' not implemented yet")
 
 
-def make_pc_step(C, md: MeshData):
-    """Build the jitted PC step: (state, dt_max) -> state."""
+def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
+    """Build the jitted PC step: (state, dt_max) -> state.
+
+    refgeo_Hi/Hb: present-day reference geometry on the mesh (used by
+    alter_ice_thickness fixiness/limitness; zeros disable those paths).
+    """
     eps = C.pc_epsilon
     k_I, k_p = C.pc_k_I, C.pc_k_p
     eta_min = C.pc_eta_min
@@ -95,6 +100,12 @@ def make_pc_step(C, md: MeshData):
     bc_masks = make_bc_masks(C, md)
 
     zerosSMB = jnp.zeros(md.nV, md.A.dtype)
+    if refgeo_Hi is None:
+        refgeo_Hi = zerosSMB
+    if refgeo_Hb is None:
+        refgeo_Hb = zerosSMB
+    refgeo_Hi = jnp.asarray(refgeo_Hi, md.A.dtype)
+    refgeo_Hb = jnp.asarray(refgeo_Hb, md.A.dtype)
 
     def pc_step(s: IceState, dt_max, SMB=None, BMB=None, LMB=None, AMB=None):
         SMB = zerosSMB if SMB is None else SMB
@@ -135,12 +146,15 @@ def make_pc_step(C, md: MeshData):
             zeta_t = dt_i / dt_n
 
             # == predictor (old velocities) ==
-            dHdt_n_raw, _, _ = calc_dHi_dt_explicit(
+            dHdt_n_raw, _, _, nsi1 = calc_dHi_dt(
                 C, md, Hi_prev, Hb, SL, s.u_vav_b, s.v_vav_b,
                 SMB, BMB, LMB, None, fraction_margin, mask_noice,
                 dt_i, s.dHi_dt_target, bc_masks)
             Hi_star = Hi_prev + dt_i * ((1 + zeta_t / 2) * dHdt_n_raw
                                         - (zeta_t / 2) * dHdt_nm1)
+            Hi_star = alter_ice_thickness(C, md, masks_prev, Hi_prev, Hb,
+                                          SL, Hi_star, refgeo_Hi, refgeo_Hb,
+                                          s.t_Hi_next)
             Hi_star = jnp.maximum(0.0, jnp.where(mask_noice, 0.0, Hi_star))
             dHdt_n = (((Hi_star - Hi_prev) / dt_i
                        + (zeta_t / 2) * dHdt_nm1) / (1 + zeta_t / 2))
@@ -151,11 +165,17 @@ def make_pc_step(C, md: MeshData):
                 Hi_star, Hs_star, Hb, SL, Ti, s)
 
             # == corrector (original geometry, new velocities) ==
-            dHdt_np1_raw, _, divQ = calc_dHi_dt_explicit(
+            dHdt_np1_raw, _, divQ, nsi2 = calc_dHi_dt(
                 C, md, Hi_prev, Hb, SL, uv, vv,
                 SMB, BMB, LMB, None, fraction_margin, mask_noice,
                 dt_i, s.dHi_dt_target, bc_masks)
             Hi_np1 = Hi_prev + (dt_i / 2) * (dHdt_n + dHdt_np1_raw)
+            Hi_np1 = alter_ice_thickness(C, md, masks_prev, Hi_prev, Hb,
+                                         SL, Hi_np1, refgeo_Hi, refgeo_Hb,
+                                         s.t_Hi_next)
+            _, u_perp, _ = make_divQ_operator(md, uv, vv, fraction_margin)
+            Hi_np1, _ = calc_and_apply_spill_over_flux(
+                C, md, masks_prev, Hi_eff, u_perp, Hi_np1, dt_i)
             Hi_np1 = jnp.maximum(0.0, jnp.where(mask_noice, 0.0, Hi_np1))
             dHdt_np1 = (Hi_np1 - Hi_prev) / (dt_i / 2) - dHdt_n
 
@@ -174,7 +194,8 @@ def make_pc_step(C, md: MeshData):
                 Hi_star=Hi_star, Hi_np1=Hi_np1,
                 dHdt_n=dHdt_n, dHdt_np1=dHdt_np1,
                 u_vav_b=uv, v_vav_b=vv, u_3D_b=u3, v_3D_b=v3, divQ=divQ,
-                n_visc_its=c.n_visc_its + nvi, n_Axb_its=c.n_Axb_its + nai,
+                n_visc_its=c.n_visc_its + nvi,
+                n_Axb_its=c.n_Axb_its + nai + nsi1 + nsi2,
                 done=done)
 
         def cond(c: _PCCarry):

@@ -13,10 +13,10 @@ import numpy as np
 from .ncio import NCFile, find_field
 
 
-def read_geometry_onto_mesh(C, region_name, mesh):
+def read_geometry_onto_mesh(C, region_name, mesh, which="init"):
     """Read (Hi, Hb, SL) from the configured init-geometry file and
     interpolate onto mesh vertices (bilinear)."""
-    fname = getattr(C, f"filename_refgeo_init_{region_name}")
+    fname = getattr(C, f"filename_refgeo_{which}_{region_name}")
     with NCFile(fname) as nc:
         x = find_field(nc, "x")
         y = find_field(nc, "y")

@@ -100,7 +100,24 @@ class ModelRegion:
                     lambda s, T_surf, SMB, BMB: run_thermodynamics(
                         C, md, s, dt_th, T_surf, SMB, BMB, heat, geo))
 
-            self.pc_step = make_pc_step(C, self.md)
+            # present-day reference geometry (for alter_ice_thickness
+            # fixiness/limitness and nudging targets)
+            pd_choice = getattr(C, f"choice_refgeo_PD_{self.name}")
+            if pd_choice == "idealised":
+                Hi_PD, Hb_PD, _, _ = calc_idealised_geometry(
+                    self.mesh.V[:, 0], self.mesh.V[:, 1],
+                    C.choice_refgeo_PD_idealised, C)
+                Hi_PD = np.where(Hi_PD < C.refgeo_Hi_min, 0.0, Hi_PD)
+            elif pd_choice == "read_from_file":
+                from ..io.input_files import read_geometry_onto_mesh
+                Hi_PD, Hb_PD, _ = read_geometry_onto_mesh(
+                    C, self.name, self.mesh, which="PD")
+            else:
+                Hi_PD, Hb_PD = Hi * 0.0, Hb
+            self.refgeo_PD = (np.asarray(Hi_PD), np.asarray(Hb_PD))
+
+            self.pc_step = make_pc_step(C, self.md, refgeo_Hi=Hi_PD,
+                                        refgeo_Hb=Hb_PD)
 
             # component forcing caches
             nV = self.md.nV

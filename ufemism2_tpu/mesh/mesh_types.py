@@ -22,7 +22,7 @@ import numpy as np
 from .triangulation import (Connectivity, circumcenters, delaunay_triangulate,
                             triangle_areas)
 from .secondary import (calc_connection_lengths, calc_connection_widths,
-                        calc_resolution, calc_voronoi_areas_centres)
+                        calc_resolution, calc_voronoi_areas_centres_fast)
 from .zeta import setup_zeta_grid
 
 
@@ -114,7 +114,7 @@ def mesh_from_points(V: np.ndarray, xmin, xmax, ymin, ymax,
     Tricc = np.clip(Tricc, [xmin, ymin], [xmax, ymax])
     TriA = triangle_areas(V, Tri)
     TriGC = V[Tri].mean(axis=1)
-    A, VorGC = calc_voronoi_areas_centres(conn, Tricc, xmin, xmax, ymin, ymax)
+    A, VorGC = calc_voronoi_areas_centres_fast(conn, Tricc, xmin, xmax, ymin, ymax)
     Cw, Lc_e = calc_connection_widths(conn, Tricc, xmin, xmax, ymin, ymax)
     D_x, D_y, D = calc_connection_lengths(conn)
     zeta, zeta_stag = setup_zeta_grid(choice_zeta_grid, nz, zeta_irregular_log_R)

@@ -237,14 +237,14 @@ def lloyds_algorithm(V: np.ndarray, xmin, xmax, ymin, ymax,
     (reference mesh_Lloyds_algorithm.f90).
     """
     from .triangulation import Connectivity
-    from .secondary import calc_voronoi_areas_centres
+    from .secondary import calc_voronoi_areas_centres_fast
 
     tol = 1e-6 * max(xmax - xmin, ymax - ymin)
     for _ in range(nit):
         Tri = delaunay_triangulate(V)
         conn = Connectivity(V, Tri, xmin, xmax, ymin, ymax)
         cc = np.clip(circumcenters(V, Tri), [xmin, ymin], [xmax, ymax])
-        _, GC = calc_voronoi_areas_centres(conn, cc, xmin, xmax, ymin, ymax)
+        _, GC = calc_voronoi_areas_centres_fast(conn, cc, xmin, xmax, ymin, ymax)
         newV = GC.copy()
         on_w = np.abs(V[:, 0] - xmin) < tol
         on_e = np.abs(V[:, 0] - xmax) < tol

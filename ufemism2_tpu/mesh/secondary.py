@@ -172,3 +172,44 @@ def calc_resolution(conn):
     _, _, D = calc_connection_lengths(conn)
     Dm = np.where(conn.C >= 0, D, np.inf)
     return Dm.min(axis=1)
+
+
+def calc_voronoi_areas_centres_fast(conn, Tricc, xmin, xmax, ymin, ymax):
+    """Vectorised exact Voronoi areas/centroids via edge-fan decomposition.
+
+    The Voronoi cell of vertex vi is the fan of triangles
+    (vi, p_e, q_e) over its incident Delaunay edges e, where (p_e, q_e) is
+    the shared Voronoi boundary segment of e (circumcentres of the two
+    adjacent triangles; edge midpoint for border edges). The domain-border
+    path through vi contributes zero area, so the fan sum is exact for
+    border and corner cells too (assuming in-domain circumcentres, which
+    refinement guarantees).
+    """
+    V = conn.V
+    EV, ETri, E = conn.EV, conn.ETri, conn.E
+    has_l = ETri[:, 0] >= 0
+    has_r = ETri[:, 1] >= 0
+    p = np.where(has_l[:, None], Tricc[np.maximum(ETri[:, 0], 0)], E)
+    q = np.where(has_r[:, None], Tricc[np.maximum(ETri[:, 1], 0)], E)
+    p = np.clip(p, [xmin, ymin], [xmax, ymax])
+    q = np.clip(q, [xmin, ymin], [xmax, ymax])
+
+    nV = len(V)
+    A = np.zeros(nV)
+    Mx = np.zeros(nV)
+    My = np.zeros(nV)
+    for side in (0, 1):
+        vi = EV[:, side]
+        a = V[vi]
+        cross = np.abs((p[:, 0] - a[:, 0]) * (q[:, 1] - a[:, 1])
+                       - (p[:, 1] - a[:, 1]) * (q[:, 0] - a[:, 0])) * 0.5
+        cx = (a[:, 0] + p[:, 0] + q[:, 0]) / 3.0
+        cy = (a[:, 1] + p[:, 1] + q[:, 1]) / 3.0
+        np.add.at(A, vi, cross)
+        np.add.at(Mx, vi, cross * cx)
+        np.add.at(My, vi, cross * cy)
+    Asafe = np.maximum(A, 1e-300)
+    GC = np.stack([Mx / Asafe, My / Asafe], axis=1)
+    zero = A <= 0
+    GC[zero] = V[zero]
+    return A, GC

@@ -204,57 +204,81 @@ class Connectivity:
 
         # CCW sort by angle; for border vertices rotate so the exterior gap
         # splits the list (list runs border->interior->border CCW).
-        ang_all = np.arctan2(dst_s.astype(np.float64) * 0, 0)  # placeholder
+        # Fully vectorised: lexsort by (vertex, angle), then per-segment
+        # rotation by the largest angular gap.
         dvec = V[dst_s] - V[src_s]
         ang_all = np.arctan2(dvec[:, 1], dvec[:, 0])
+        order2 = np.lexsort((ang_all, src_s))
+        dst_o = dst_s[order2]
+        eid_o = eid_s[order2]
+        ang_o = ang_all[order2]
 
-        for vi in range(nV):
-            s, e = starts[vi], ends[vi]
-            if s == e:
-                continue
-            ang = ang_all[s:e]
-            idx = np.argsort(ang)
-            nbrs = dst_s[s:e][idx]
-            eids = eid_s[s:e][idx]
-            k = e - s
-            if VBI[vi] != 0:
-                # rotate so that the angular gap (exterior) is between the
-                # last and first entries
-                a_sorted = ang[idx]
-                gaps = np.diff(np.concatenate([a_sorted, a_sorted[:1] + 2 * np.pi]))
-                rot = (int(np.argmax(gaps)) + 1) % k
-                nbrs = np.roll(nbrs, -rot)
-                eids = np.roll(eids, -rot)
-            C[vi, :k] = nbrs
-            VE[vi, :k] = eids
+        # position within each vertex's segment
+        seg_start = starts[src_s[order2]]
+        pos = np.arange(len(order2)) - seg_start
+        kk = (ends - starts)  # per-vertex degree
+
+        # angular gaps between consecutive sorted neighbours (cyclic)
+        nxt_idx = seg_start + (pos + 1) % np.maximum(kk[src_s[order2]], 1)
+        gap = ang_o[nxt_idx] - ang_o
+        gap = np.where(gap <= 0, gap + 2 * np.pi, gap)
+        # for each vertex find position of max gap
+        maxgap_pos = np.zeros(nV, dtype=np.int64)
+        maxgap_val = np.full(nV, -1.0)
+        src_o = src_s[order2]
+        np.maximum.at(maxgap_val, src_o, gap)
+        is_max = gap >= maxgap_val[src_o] - 1e-15
+        # first max position per vertex
+        first_max = np.full(nV, np.iinfo(np.int64).max)
+        np.minimum.at(first_max, src_o[is_max], pos[is_max])
+        rot = np.where(VBI != 0, (first_max + 1) % np.maximum(kk, 1), 0)
+
+        new_pos = (pos - rot[src_o]) % np.maximum(kk[src_o], 1)
+        C[src_o, new_pos] = dst_o
+        VE[src_o, new_pos] = eid_o
         self.nC = nC
         self.C = C
         self.VE = VE
 
         # --- triangles around vertex (iTri), CCW ---------------------------
-        niTri = np.zeros(nV, dtype=np.int32)
+        # iTri[vi, c] = triangle (vi, C[c], C[c+1]) = triangle left of the
+        # directed edge vi->C[c]. Vectorised lookup via sorted directed-edge
+        # keys.
+        a_dir = np.concatenate([Tri[:, 0], Tri[:, 1], Tri[:, 2]])
+        b_dir = np.concatenate([Tri[:, 1], Tri[:, 2], Tri[:, 0]])
+        t_dir = np.tile(np.arange(nTri), 3)
+        dkey = a_dir.astype(np.int64) * nV + b_dir
+        dorder = np.argsort(dkey)
+        dkey_s = dkey[dorder]
+        t_s = t_dir[dorder]
+
+        valid_c = C >= 0
+        qkey = (np.arange(nV)[:, None].astype(np.int64) * nV
+                + np.maximum(C, 0))
+        loc = np.searchsorted(dkey_s, qkey)
+        loc = np.minimum(loc, len(dkey_s) - 1)
+        hit = (dkey_s[loc] == qkey) & valid_c
+        tri_at = np.where(hit, t_s[loc], -1)
+        # the triangle must also contain C[c+1]; for interior vertices the
+        # wrap (last->first) is real, for border vertices the last
+        # connection has no triangle (its lookup misses anyway since the
+        # left-of-edge triangle for the last border connection lies outside)
         iTri = np.full((nV, nC_mem), -1, dtype=np.int64)
-        # triangle ti is "right of line vi->vj" when directed edge (vj,vi) in
-        # ti... simpler: triangle containing vertices (vi, C[vi,c], C[vi,c+1])
-        # is the c-th triangle CCW. Build map from directed edge -> left tri.
-        left_of = {}
-        for n in range(3):
-            a = Tri[:, n]
-            b = Tri[:, (n + 1) % 3]
-            for t, (aa, bb) in enumerate(zip(a, b)):
-                left_of[(aa, bb)] = t
-        for vi in range(nV):
-            k = nC[vi]
-            cnt = 0
-            for c in range(k):
-                vj = C[vi, c]
-                vk = C[vi, (c + 1) % k]
-                # CCW triangle (vi, vj, vk) has directed edge (vi,vj) with the
-                # triangle on its left
-                t = left_of.get((vi, vj))
-                if t is not None and vk in Tri[t]:
-                    iTri[vi, cnt] = t
-                    cnt += 1
-            niTri[vi] = cnt
-        self.niTri = niTri
+        cnt = np.zeros(nV, dtype=np.int64)
+        # compact valid triangles leftwards per row
+        hit_idx = np.where(tri_at >= 0)
+        rows = hit_idx[0]
+        # positions within each row, preserving order
+        order3 = np.lexsort((hit_idx[1], rows))
+        rows_o = rows[order3]
+        tri_o = tri_at[hit_idx][order3]
+        # per-row running position
+        row_change = np.ones(len(rows_o), dtype=bool)
+        row_change[1:] = rows_o[1:] != rows_o[:-1]
+        seg_id = np.cumsum(row_change) - 1
+        seg_first = np.where(row_change)[0]
+        pos_in_row = np.arange(len(rows_o)) - seg_first[seg_id]
+        iTri[rows_o, pos_in_row] = tri_o
+        np.add.at(cnt, rows_o, 1)
+        self.niTri = cnt.astype(np.int32)
         self.iTri = iTri
