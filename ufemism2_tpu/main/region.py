@@ -221,8 +221,22 @@ class ModelRegion:
         C = self.C
         dt_max = dt_max if dt_max is not None else C.dt_ice_max
         t0_wall = _time.perf_counter()
+        if not hasattr(self, "t_last_mesh_update"):
+            self.t_last_mesh_update = self.time
         with routine("run_model_region"):
             while self.time < t_end - 1e-9:
+                # adaptive mesh update check (UFEMISM_main_model.f90:103-118)
+                if (C.allow_mesh_updates
+                        and self.time - self.t_last_mesh_update
+                        >= C.dt_mesh_update_min):
+                    fit = calc_mesh_fitness_coefficient(C, self.mesh,
+                                                        self.state)
+                    if fit < C.minimum_mesh_fitness_coefficient:
+                        happy("mesh fitness {:.3f} < {:.3f}: updating mesh",
+                              fit, C.minimum_mesh_fitness_coefficient)
+                        self.update_mesh()
+                    self.t_last_mesh_update = self.time
+
                 # run components whose t_next has arrived
                 self._run_components()
 
@@ -301,3 +315,132 @@ class ModelRegion:
                     Path(self.output_dir) / f"restart_{self.name}_00001.nc",
                     self.mesh, self.state, self.time)
             bump("output_restart")
+
+
+# ---------------------------------------------------------------------------
+# Adaptive mesh updates (UFEMISM_main_model.f90:1211-1474)
+# ---------------------------------------------------------------------------
+
+def calc_mesh_fitness_coefficient(C, mesh, state):
+    """Fraction of grounding-line/calving-front vertices still meeting
+    their target resolution (calc_mesh_fitness_coefficient, :1356)."""
+    import numpy as np
+    gl = np.asarray(state.mask_gl_gr) | np.asarray(state.mask_gl_fl)
+    cf = np.asarray(state.mask_cf_gr) | np.asarray(state.mask_cf_fl)
+    R = mesh.R
+    tol = C.mesh_resolution_tolerance
+    n_tot = int(gl.sum() + cf.sum())
+    if n_tot == 0:
+        return 1.0
+    bad_gl = gl & (R > C.maximum_resolution_grounding_line * tol)
+    bad_cf = cf & (R > C.maximum_resolution_calving_front * tol)
+    return 1.0 - (int(bad_gl.sum()) + int(bad_cf.sum())) / n_tot
+
+
+def _region_update_mesh(region):
+    """Create a new mesh fitted to the current geometry and remap all
+    state onto it (update_mesh, :1211)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..mesh.grids import setup_square_grid
+    from ..remap import get_map
+    from ..mesh.creation import build_mesh_from_gridded_geometry
+    from ..core.mesh_data import build_mesh_data
+    from ..core.ice.pc import make_pc_step
+    from ..core.ice.state import init_ice_state
+
+    C = region.C
+    old_mesh = region.mesh
+    s = region.state
+
+    # rasterise current geometry to a temp grid for feature extraction
+    dx = max(min(C.maximum_resolution_grounding_line,
+                 C.maximum_resolution_calving_front) / 2.0,
+             old_mesh.R.min())
+    g = setup_square_grid(old_mesh.xmin, old_mesh.xmax,
+                          old_mesh.ymin, old_mesh.ymax, dx)
+    Mg = get_map(old_mesh, g, method="trilin")
+    Hi_g = (Mg @ np.asarray(s.Hi)).reshape(g.nx, g.ny)
+    Hb_g = (Mg @ np.asarray(s.Hb)).reshape(g.nx, g.ny)
+    SL_g = (Mg @ np.asarray(s.SL)).reshape(g.nx, g.ny)
+
+    new_mesh = build_mesh_from_gridded_geometry(
+        C, region.name, g.x, g.y, Hi_g, Hb_g, SL_g)
+
+    # remap model state (2nd-order conservative for thickness/temperature)
+    M_cons = get_map(old_mesh, new_mesh)
+    def rm(x):
+        return jnp.asarray(M_cons @ np.asarray(x))
+    Hi_new = jnp.maximum(0.0, rm(s.Hi))
+    Hb_new = rm(s.Hb)
+    SL_new = rm(s.SL)
+    Ti_new = jnp.asarray(M_cons @ np.asarray(s.Ti))
+
+    region.mesh = new_mesh
+    region.md = build_mesh_data(new_mesh)
+    new_state = init_ice_state(region.md, Hi_new, Hb_new, SL_new, nz=C.nz,
+                               dt_init=float(s.pc.dt_np1))
+    new_state = new_state.replace(
+        Ti=Ti_new, dHb=rm(s.dHb),
+        t_Hi_prev=s.t_Hi_next, t_Hi_next=s.t_Hi_next,
+        pc=new_state.pc.replace(
+            dt_n=s.pc.dt_n, dt_np1=s.pc.dt_np1,
+            eta_n=s.pc.eta_n, eta_np1=s.pc.eta_np1,
+            dHi_dt_Hi_nm1_u_nm1=rm(s.pc.dHi_dt_Hi_nm1_u_nm1)))
+    region.state = new_state
+
+    # rebuild jitted machinery + component models on the new mesh
+    Hi_PD, Hb_PD = region.refgeo_PD
+    M_pd = get_map(old_mesh, new_mesh, method="trilin")
+    region.refgeo_PD = (M_pd @ Hi_PD, M_pd @ Hb_PD)
+    region.pc_step = make_pc_step(C, region.md,
+                                  refgeo_Hi=region.refgeo_PD[0],
+                                  refgeo_Hb=region.refgeo_PD[1])
+    from ..models.climate import make_run_climate
+    from ..models.ocean import make_run_ocean
+    from ..models.smb import make_run_smb
+    from ..models.bmb import make_run_bmb
+    from ..models.lmb import make_run_lmb
+    from ..models.amb import make_run_amb
+    from ..models.gia import make_run_gia
+    region.run_climate = make_run_climate(C, region.md, region.name)
+    region.run_ocean = make_run_ocean(C, region.md, region.name)
+    region.run_smb = make_run_smb(C, region.md, region.name)
+    region.run_bmb = make_run_bmb(C, region.md, region.name)
+    region.run_lmb = make_run_lmb(C, region.md, region.name)
+    region.run_amb = make_run_amb(C, region.md, region.name)
+    region.run_gia = make_run_gia(C, region.md, region.name, region.mesh)
+    if region.do_thermo:
+        from ..core.ice.thermodynamics import (make_heat_solver,
+                                               make_geothermal_flux,
+                                               run_thermodynamics)
+        import jax
+        region._heat_solver = make_heat_solver(C, region.md)
+        region._geothermal = make_geothermal_flux(C, region.md)
+        md, heat, geo = region.md, region._heat_solver, region._geothermal
+        dt_th = C.dt_thermodynamics
+        region._thermo_step = jax.jit(
+            lambda st, T_surf, SMB, BMB: run_thermodynamics(
+                C, md, st, dt_th, T_surf, SMB, BMB, heat, geo))
+
+    # refresh component forcings + reset their clocks to now
+    t = region.time
+    region.climate = region.run_climate(t, region.state)
+    region.ocean = region.run_ocean(t, region.state)
+    region.SMB = region.run_smb(t, region.state, climate=region.climate)
+    from ..core.ice.masks import determine_masks
+    from ..core.ice.subgrid import calc_grounded_fractions_bilin_TAF
+    m0 = determine_masks(region.md, region.state.Hi, region.state.Hb,
+                         region.state.SL)
+    fg0 = calc_grounded_fractions_bilin_TAF(
+        region.md, region.state.Hi, region.state.Hb, region.state.SL,
+        m0["mask_floating_ice"])
+    region.BMB = region.run_bmb(t, region.state, m0, fg0, region.ocean)
+    region.LMB = region.run_lmb(t, region.state, m0)
+    region.AMB = region.run_amb(t, region.state)
+    region._outputs_open = False  # new mesh -> new output file generation
+    region.t_last_mesh_update = t
+
+
+ModelRegion.update_mesh = _region_update_mesh
+ModelRegion.calc_mesh_fitness = staticmethod(calc_mesh_fitness_coefficient)

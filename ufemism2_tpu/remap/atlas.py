@@ -1,0 +1,109 @@
+"""The remapping Atlas: find-or-create cache of remap operators.
+
+Re-design of src/UPSY/mesh/remapping/remapping_main.f90 (the Atlas,
+:23,:60-92): maps are keyed by (src id, dst id, method) and built on
+first use; clear_all_maps_involving_this_mesh drops entries when a mesh
+dies (apply_maps.f90).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .conservative import (build_map_conservative, build_map_nearest,
+                           build_map_trilin_mesh_to_points,
+                           mesh_voronoi_polygons, mesh_triangle_polygons,
+                           grid_polygons)
+
+
+class Atlas:
+    def __init__(self):
+        self._maps = {}
+
+    @staticmethod
+    def _id(obj):
+        return id(obj)
+
+    def clear_all_maps_involving(self, obj):
+        key_id = self._id(obj)
+        self._maps = {k: v for k, v in self._maps.items()
+                      if key_id not in (k[0], k[1])}
+
+    def get(self, src, dst, method="2nd_order_conservative",
+            src_grid_type="vertices"):
+        key = (self._id(src), self._id(dst), method, src_grid_type)
+        if key not in self._maps:
+            self._maps[key] = _create_map(src, dst, method, src_grid_type)
+        return self._maps[key]
+
+
+_GLOBAL_ATLAS = Atlas()
+
+
+def _polys_of(obj, grid_type="vertices"):
+    from ..mesh.mesh_types import Mesh
+    from ..mesh.grids import Grid
+    if isinstance(obj, Grid):
+        p, nv = grid_polygons(obj)
+        return p, nv, obj.centres(), None, None
+    if isinstance(obj, Mesh):
+        if grid_type == "vertices":
+            p, nv = mesh_voronoi_polygons(obj)
+            ops = obj.operators
+            Dx = ops.M_ddx_a_a if ops else None
+            Dy = ops.M_ddy_a_a if ops else None
+            return p, nv, obj.V, Dx, Dy
+        p, nv = mesh_triangle_polygons(obj)
+        ops = obj.operators
+        Dx = ops.M_ddx_b_b if ops else None
+        Dy = ops.M_ddy_b_b if ops else None
+        return p, nv, obj.TriGC, Dx, Dy
+    raise TypeError(f"cannot remap from {type(obj)}")
+
+
+def _points_of(obj, grid_type="vertices"):
+    from ..mesh.mesh_types import Mesh
+    from ..mesh.grids import Grid
+    if isinstance(obj, Grid):
+        return obj.centres()
+    if isinstance(obj, Mesh):
+        return obj.V if grid_type == "vertices" else obj.TriGC
+    raise TypeError(str(type(obj)))
+
+
+def _create_map(src, dst, method, src_grid_type):
+    if method == "2nd_order_conservative":
+        sp_, snv, spts, Dx, Dy = _polys_of(src, src_grid_type)
+        dp_, dnv, _, _, _ = _polys_of(dst)
+        return build_map_conservative(sp_, snv, spts, dp_, dnv,
+                                      M_ddx_src=Dx, M_ddy_src=Dy)
+    if method == "1st_order_conservative":
+        sp_, snv, spts, _, _ = _polys_of(src, src_grid_type)
+        dp_, dnv, _, _, _ = _polys_of(dst)
+        return build_map_conservative(sp_, snv, spts, dp_, dnv,
+                                      second_order=False)
+    if method == "nearest_neighbour":
+        spts = _points_of(src, src_grid_type)
+        dpts = _points_of(dst)
+        return build_map_nearest(spts, dpts, len(spts))
+    if method == "trilin":
+        from ..mesh.mesh_types import Mesh
+        if isinstance(src, Mesh):
+            return build_map_trilin_mesh_to_points(src, _points_of(dst))
+        # grid source: bilinear handled by nearest for now
+        return build_map_nearest(_points_of(src), _points_of(dst),
+                                 len(_points_of(src)))
+    raise ValueError(f"unknown remap method '{method}'")
+
+
+def get_map(src, dst, method="2nd_order_conservative",
+            src_grid_type="vertices"):
+    """Find-or-create a remap operator in the global Atlas."""
+    return _GLOBAL_ATLAS.get(src, dst, method, src_grid_type)
+
+
+def apply_map(M, field):
+    """Apply a remap operator to a field [n_src] or [n_src, d]."""
+    return M @ np.asarray(field)
