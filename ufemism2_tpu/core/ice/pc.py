@@ -77,6 +77,10 @@ def make_solve_stress_balance(C, md: MeshData):
         from .ssadiva import make_solve_ssa_diva
         return make_solve_ssa_diva(C, md, choice)
 
+    if choice == "BPA":
+        from .bpa import make_solve_bpa
+        return make_solve_bpa(C, md)
+
     raise ValueError(
         f"stress balance '{choice}' not implemented yet")
 
