@@ -109,7 +109,7 @@ def make_solve_bpa(C, md: MeshData):
         Hi_eff, _ = calc_effective_thickness(md, Hi, Hb, SL)
         Hs_slope = jnp.sqrt((md.M_ddx_a_a @ Hs) ** 2
                             + (md.M_ddy_a_a @ Hs) ** 2)
-        bed_roughness = _bed_roughness_fields(C, md)
+        bed_roughness = _bed_roughness_fields(C, md, s.bed_roughness)
 
         Hi_b = jnp.maximum(md.M_map_a_b @ Hi, 0.1)
         dh_dx_b = md.M_ddx_a_b @ Hs

@@ -285,7 +285,7 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str):
         tau_dx_b = -ice_density * grav * Hi_b * (md.M_ddx_a_b @ Hs)
         tau_dy_b = -ice_density * grav * Hi_b * (md.M_ddy_a_b @ Hs)
 
-        bed_roughness = _bed_roughness_fields(C, md)
+        bed_roughness = _bed_roughness_fields(C, md, s.bed_roughness)
 
         Hi_reg = jnp.maximum(0.1, Hi)
 
@@ -475,10 +475,11 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str):
     return solve
 
 
-def _bed_roughness_fields(C, md: MeshData):
-    """Spatially uniform bed roughness from config, per sliding law
-    (full bed-roughness model with inversion arrives with the nudging
-    subsystem; reference bed_roughness_model 'uniform' choice)."""
+def _bed_roughness_fields(C, md: MeshData, generic=None):
+    """Bed roughness fields per sliding law (reference bed_roughness
+    model). `generic` is the (possibly nudged) per-vertex roughness
+    parameter carried in IceState; when zero/None the uniform config
+    values apply."""
     nV = md.nV
     dtype = md.A.dtype
     law = C.choice_sliding_law
@@ -493,8 +494,16 @@ def _bed_roughness_fields(C, md: MeshData):
     alpha_sq = {"Tsai2015": C.slid_Tsai2015_alpha_sq_uniform,
                 "Schoof2005": C.slid_Schoof2005_alpha_sq_uniform,
                 }.get(law, 0.5)
+    beta_sq_f = jnp.full(nV, beta_sq, dtype)
+    phi_f = jnp.full(nV, phi, dtype)
+    if generic is not None:
+        use = generic > 0
+        if law in ("Weertman", "Tsai2015", "Schoof2005"):
+            beta_sq_f = jnp.where(use, generic, beta_sq_f)
+        else:
+            phi_f = jnp.where(use, generic, phi_f)
     return {
-        "beta_sq": jnp.full(nV, beta_sq, dtype),
-        "till_friction_angle": jnp.full(nV, phi, dtype),
+        "beta_sq": beta_sq_f,
+        "till_friction_angle": phi_f,
         "alpha_sq": jnp.full(nV, alpha_sq, dtype),
     }

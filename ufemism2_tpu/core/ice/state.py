@@ -70,6 +70,9 @@ class IceState:
     # rheology
     A_flow: jnp.ndarray              # [nV,nz] Glen flow factor
 
+    # basal conditions
+    bed_roughness: jnp.ndarray       # [nV] generic (nudgable) roughness
+
     # velocities
     u_vav_b: jnp.ndarray             # [nTri]
     v_vav_b: jnp.ndarray             # [nTri]
@@ -117,6 +120,7 @@ def init_ice_state(md, Hi, Hb, SL, nz: int, dt_init: float = 0.1,
         fraction_gr=jnp.ones(nV, dtype), fraction_gr_b=jnp.ones(nTri, dtype),
         Hi_eff=Hi,
         A_flow=jnp.zeros((nV, nz), dtype),
+        bed_roughness=jnp.zeros(nV, dtype),
         u_vav_b=zeros_t, v_vav_b=zeros_t,
         u_3D_b=jnp.zeros((nTri, nz), dtype),
         v_3D_b=jnp.zeros((nTri, nz), dtype),

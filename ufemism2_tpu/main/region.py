@@ -116,6 +116,16 @@ class ModelRegion:
                 Hi_PD, Hb_PD = Hi * 0.0, Hb
             self.refgeo_PD = (np.asarray(Hi_PD), np.asarray(Hb_PD))
 
+            # bed roughness (nudgable)
+            from ..models.bed_roughness import (initial_bed_roughness,
+                                                make_run_bed_roughness_nudging)
+            self.bed_roughness_state = initial_bed_roughness(C, self.md)
+            self.state = self.state.replace(
+                bed_roughness=self.bed_roughness_state.generic)
+            self.do_nudging = C.do_bed_roughness_nudging
+            if self.do_nudging:
+                self._nudge_step = make_run_bed_roughness_nudging(C, self.md)
+
             self.pc_step = make_pc_step(C, self.md, refgeo_Hi=Hi_PD,
                                         refgeo_Hb=Hb_PD)
 
@@ -163,12 +173,15 @@ class ModelRegion:
                        else _BIG,
                 "thermo": (t0 + C.dt_thermodynamics) if self.do_thermo
                           else _BIG,
+                "bed_roughness": (t0 + C.bed_roughness_nudging_dt)
+                                 if C.do_bed_roughness_nudging else _BIG,
                 "output": t0, "output_restart": t0,
             }
             self.dt_comp = {
                 "climate": C.dt_climate, "ocean": C.dt_ocean,
                 "SMB": C.dt_SMB, "BMB": C.dt_BMB, "LMB": C.dt_LMB,
                 "GIA": C.dt_GIA, "thermo": C.dt_thermodynamics,
+                "bed_roughness": C.bed_roughness_nudging_dt,
                 "output": C.dt_output, "output_restart": C.dt_output_restart,
             }
 
@@ -305,6 +318,21 @@ class ModelRegion:
             Ti_new, _ = self._thermo_step(s, T_surf, self.SMB, self.BMB)
             self.state = self.state.replace(Ti=Ti_new)
             bump("thermo")
+        if need("bed_roughness") and getattr(self, "do_nudging", False):
+            if (C.bed_roughness_nudging_t_start <= t
+                    <= C.bed_roughness_nudging_t_end):
+                if masks is None:
+                    masks = determine_masks(self.md, s.Hi, s.Hb, s.SL)
+                Hi_PD, Hb_PD = self.refgeo_PD
+                from ..core.ice.geometry import ice_surface_elevation
+                tgt_Hs = ice_surface_elevation(
+                    jnp.asarray(Hi_PD), jnp.asarray(Hb_PD), s.SL)
+                self.bed_roughness_state = self._nudge_step(
+                    s, masks, self.bed_roughness_state, tgt_Hs,
+                    jnp.asarray(Hi_PD))
+                self.state = self.state.replace(
+                    bed_roughness=self.bed_roughness_state.generic)
+            bump("bed_roughness")
         if need("output"):
             self.write_output()
             bump("output")

@@ -83,6 +83,23 @@ def make_run_bmb(C, md, region_name: str):
         raise NotImplementedError(
             f"choice_BMB_model_parameterised '{sub}' not implemented")
 
+    if choice == "inverted":
+        import jax.numpy as _jnp
+        from .bed_roughness import make_run_bmb_inverted
+        inv = make_run_bmb_inverted(C, md)
+        cache = {"BMB": None}
+
+        def run(time, s, masks, fraction_gr, ocean=None):
+            if cache["BMB"] is None:
+                cache["BMB"] = _jnp.zeros(nV, dtype)
+            # target shelf mask from the PD-like target geometry: use the
+            # current floating mask at initialisation
+            tgt_shelf = masks["mask_floating_ice"]
+            cache["BMB"] = inv(cache["BMB"], s, masks, s.Hi, tgt_shelf,
+                               time)
+            return cache["BMB"]
+        return run
+
     if choice == "laddie":
         from .laddie import make_run_bmb_laddie
         return make_run_bmb_laddie(C, md, region_name)
