@@ -1,0 +1,91 @@
+"""The UFEMISM-TPU program: CLI entry point.
+
+Re-design of src/UFEMISM/main/UFEMISM_program.f90: run up to four model
+regions (NAM/EAS/GRL/ANT) sequentially through the coupling loop, or the
+unit/component test suites.
+
+Usage:
+    python -m ufemism2_tpu <config.cfg> [--output-dir DIR]
+    python -m ufemism2_tpu unit_tests
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time as _time
+from pathlib import Path
+
+from ..config import load_config
+from ..utils.logging_utils import happy, get_tracker
+from ..models.forcings import GlobalForcings
+
+
+REGIONS = ["NAM", "EAS", "GRL", "ANT"]
+
+
+def run_model(config_path: str, output_dir: str | None = None):
+    from .region import ModelRegion
+
+    C = load_config(config_path)
+    if output_dir is None:
+        if C.create_procedural_output_dir:
+            stamp = _time.strftime("%Y%m%d")
+            n = 1
+            while Path(f"results_{stamp}_{n:03d}").exists():
+                n += 1
+            output_dir = f"results_{stamp}_{n:03d}"
+        else:
+            output_dir = C.fixed_output_dir or "results"
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    # copy the config into the output dir (reference does the same)
+    (out / Path(config_path).name).write_text(Path(config_path).read_text())
+
+    forcings = GlobalForcings(C)
+
+    regions = {}
+    for name in REGIONS:
+        if getattr(C, f"do_{name}"):
+            happy("Initialising model region {} ...", name)
+            regions[name] = ModelRegion(C, name, output_dir=str(out / name))
+
+    if not regions:
+        print("No regions enabled in config (do_NAM/EAS/GRL/ANT).")
+        return {}
+
+    # the coupling loop (UFEMISM_program.f90:99-129)
+    t = C.start_time_of_run
+    while t < C.end_time_of_run - 1e-9:
+        t_next = min(t + C.dt_coupling, C.end_time_of_run)
+        forcings.update(t)
+        for name, region in regions.items():
+            happy("  Running region {} to t = {:.1f} yr ...", name, t_next)
+            region.run_to(t_next)
+        t = t_next
+
+    for name, region in regions.items():
+        region.write_output()
+        happy("Region {}: {} ice-dynamics steps, final scalars: {}",
+              name, region.n_dt_ice,
+              region.scalars_history[-1] if region.scalars_history else {})
+
+    print(get_tracker().report())
+    return regions
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ufemism2_tpu", description=__doc__)
+    p.add_argument("config", help="path to a .cfg namelist, or 'unit_tests'")
+    p.add_argument("--output-dir", default=None)
+    args = p.parse_args(argv)
+
+    if args.config == "unit_tests":
+        import pytest
+        sys.exit(pytest.main(["-x", "-q",
+                              str(Path(__file__).parents[2] / "tests")]))
+    run_model(args.config, args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

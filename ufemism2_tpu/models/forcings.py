@@ -1,0 +1,57 @@
+"""Global forcings: CO2, sea level, insolation time series.
+
+Re-design of src/UFEMISM/global_forcings/global_forcings_main.f90:
+prescribed-constant or time-series (from file) CO2 and sea level, shared
+by all model regions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.ncio import NCFile
+
+
+class GlobalForcings:
+    def __init__(self, C):
+        self.C = C
+        self.CO2 = getattr(C, "fixed_CO2_concentration", 280.0) \
+            if self._has(C, "fixed_CO2_concentration") else 280.0
+        self.sealevel = 0.0
+        self._sl_series = None
+        self._co2_series = None
+
+        choice_sl = getattr(C, "choice_sealevel_model", "fixed") \
+            if self._has(C, "choice_sealevel_model") else "fixed"
+        self.choice_sealevel = choice_sl
+        if choice_sl == "fixed" and self._has(C, "fixed_sealevel"):
+            self.sealevel = C.fixed_sealevel
+        elif choice_sl == "prescribed" and self._has(
+                C, "filename_prescribed_sealevel"):
+            self._sl_series = self._read_series(
+                C.filename_prescribed_sealevel, "sealevel")
+
+    @staticmethod
+    def _has(C, k):
+        try:
+            getattr(C, k)
+            return True
+        except AttributeError:
+            return False
+
+    @staticmethod
+    def _read_series(path, var):
+        with NCFile(path) as nc:
+            t = nc.read("time")
+            v = nc.read(var)
+        return (np.asarray(t), np.asarray(v))
+
+    def update(self, time: float):
+        """update_sealevel_at_model_time + CO2 at time."""
+        if self._sl_series is not None:
+            t, v = self._sl_series
+            self.sealevel = float(np.interp(time, t, v))
+        if self._co2_series is not None:
+            t, v = self._co2_series
+            self.CO2 = float(np.interp(time, t, v))
+        return self
