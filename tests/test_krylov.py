@@ -1,0 +1,90 @@
+"""Krylov solver tests (reference analogue: ut_petsc.f90)."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from ufemism2_tpu.ops.krylov import bicgstab, cg, gmres
+from ufemism2_tpu.ops.sparse import ell_from_csr
+from ufemism2_tpu.ops.tridiag import thomas_batched, zeta_tridiag_operators
+
+
+def _laplacian(n, diag=2.2):
+    return sp.diags([np.full(n - 1, -1.0), np.full(n, diag),
+                     np.full(n - 1, -1.0)], [-1, 0, 1]).tocsr()
+
+
+def test_cg_spd():
+    n = 500
+    A = _laplacian(n)
+    E = ell_from_csr(A)
+    b = jnp.asarray(np.random.default_rng(0).normal(size=n))
+    res = cg(lambda x: E @ x, b, rtol=1e-10, abstol=1e-12)
+    assert bool(res.converged)
+    assert np.linalg.norm(A @ np.asarray(res.x) - np.asarray(b)) < 1e-7
+
+
+def test_bicgstab_nonsymmetric():
+    n = 400
+    rng = np.random.default_rng(1)
+    A = _laplacian(n) + sp.diags([np.full(n - 1, 0.3)], [1])
+    E = ell_from_csr(A.tocsr())
+    b = jnp.asarray(rng.normal(size=n))
+    res = bicgstab(lambda x: E @ x, b, rtol=1e-10, abstol=1e-12)
+    assert bool(res.converged)
+    assert np.linalg.norm(A @ np.asarray(res.x) - np.asarray(b)) < 1e-6
+
+
+def test_gmres_pytree():
+    n = 300
+    A1 = _laplacian(n, 3.0)
+    E = ell_from_csr(A1)
+    rng = np.random.default_rng(2)
+    b = (jnp.asarray(rng.normal(size=n)), jnp.asarray(rng.normal(size=n)))
+
+    def A(uv):
+        u, v = uv
+        return (E @ u + 0.1 * v, E @ v - 0.1 * u)
+
+    res = gmres(A, b, rtol=1e-9, abstol=1e-11)
+    assert bool(res.converged)
+    ru, rv = A(res.x)
+    assert np.abs(np.asarray(ru) - np.asarray(b[0])).max() < 1e-5
+
+
+def test_preconditioned_faster():
+    n = 600
+    d = np.linspace(1.0, 1000.0, n)
+    A = sp.diags(d).tocsr() + 0.1 * _laplacian(n, 0.0)
+    E = ell_from_csr(A.tocsr())
+    b = jnp.asarray(np.ones(n))
+    plain = gmres(lambda x: E @ x, b, rtol=1e-8, abstol=1e-10)
+    M = jnp.asarray(1.0 / d)
+    pre = gmres(lambda x: E @ x, b, M=lambda r: M * r, rtol=1e-8,
+                abstol=1e-10)
+    assert int(pre.n_iter) <= int(plain.n_iter)
+
+
+def test_thomas_batched():
+    rng = np.random.default_rng(3)
+    B, n = 50, 12
+    l = rng.normal(size=(B, n - 1)) * 0.3
+    u = rng.normal(size=(B, n - 1)) * 0.3
+    d = 2.0 + rng.random(size=(B, n))
+    b = rng.normal(size=(B, n))
+    x = np.asarray(thomas_batched(jnp.asarray(l), jnp.asarray(d),
+                                  jnp.asarray(u), jnp.asarray(b)))
+    for i in range(B):
+        A = np.diag(d[i]) + np.diag(l[i], -1) + np.diag(u[i], 1)
+        np.testing.assert_allclose(A @ x[i], b[i], atol=1e-10)
+
+
+def test_zeta_tridiag_operators():
+    zeta = np.linspace(0, 1, 12)
+    ops = zeta_tridiag_operators(zeta)
+    l1, d1, u1 = ops["ddzeta"]
+    # derivative of linear function is exact on interior rows
+    f = 3.0 * zeta + 1.0
+    for k in range(1, 11):
+        val = l1[k - 1] * f[k - 1] + d1[k] * f[k] + u1[k] * f[k + 1]
+        assert abs(val - 3.0) < 1e-10

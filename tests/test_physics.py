@@ -1,0 +1,127 @@
+"""Physics-component unit tests: masks, subgrid, sliding, thermo pieces."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ufemism2_tpu.config import Config
+from ufemism2_tpu.core.mesh_data import build_mesh_data
+from ufemism2_tpu.core.ice.masks import determine_masks, calc_mask_noice
+from ufemism2_tpu.core.ice.subgrid import (calc_effective_thickness,
+                                           calc_grounded_fractions_bilin_TAF)
+from ufemism2_tpu.core.ice.geometry import (ice_surface_elevation,
+                                            thickness_above_flotation)
+from ufemism2_tpu.utils.constants import ice_density, seawater_density
+
+
+@pytest.fixture(scope="module")
+def md(small_mesh):
+    return build_mesh_data(small_mesh)
+
+
+def test_geometry_relations():
+    # grounded: Hs = Hi + Hb
+    assert float(ice_surface_elevation(1000.0, 100.0, 0.0)) == 1100.0
+    # floating: Hs = Hi * (1 - rho_i/rho_sw)
+    hs = float(ice_surface_elevation(1000.0, -2000.0, 0.0))
+    np.testing.assert_allclose(hs, 1000.0 * (1 - ice_density
+                                             / seawater_density))
+    assert float(thickness_above_flotation(1000.0, 100.0, 0.0)) == 1000.0
+
+
+def test_determine_masks(md):
+    nV = md.nV
+    V = np.asarray(md.V)
+    # left half grounded ice, right half ocean
+    Hi = jnp.asarray(np.where(V[:, 0] < 0, 1000.0, 0.0))
+    Hb = jnp.asarray(np.where(V[:, 0] < 0, 100.0, -2000.0))
+    SL = jnp.zeros(nV)
+    m = determine_masks(md, Hi, Hb, SL)
+    assert bool(m["mask_grounded_ice"].any())
+    assert bool(m["mask_icefree_ocean"].any())
+    assert not bool((m["mask_grounded_ice"] & m["mask_icefree_ocean"]).any())
+    # margin vertices are ice vertices adjacent to no-ice
+    assert bool(m["mask_margin"].any())
+    # coastline between land and ocean should be empty here (land is iced)
+    assert bool(m["mask_cf_gr"].any()) or bool(m["mask_margin"].any())
+
+
+def test_effective_thickness(md):
+    nV = md.nV
+    Hi = jnp.full(nV, 500.0)
+    Hb = jnp.full(nV, -2000.0)
+    SL = jnp.zeros(nV)
+    Hi_eff, fm = calc_effective_thickness(md, Hi, Hb, SL)
+    np.testing.assert_allclose(np.asarray(fm), 1.0)   # full cells
+    np.testing.assert_allclose(np.asarray(Hi_eff), 500.0)
+
+
+def test_grounded_fractions(md):
+    nV = md.nV
+    V = np.asarray(md.V)
+    # TAF crosses zero at x=0
+    Hi = jnp.full(nV, 1000.0)
+    Hb = jnp.asarray(-1000.0 * ice_density / seawater_density
+                     + V[:, 0] / 100.0)
+    SL = jnp.zeros(nV)
+    m = determine_masks(md, Hi, Hb, SL)
+    fg = calc_grounded_fractions_bilin_TAF(md, Hi, Hb, SL,
+                                           m["mask_floating_ice"])
+    fg = np.asarray(fg)
+    assert (fg >= 0).all() and (fg <= 1).all()
+    assert fg[V[:, 0] > 10e3].min() > 0.99
+    assert fg[V[:, 0] < -10e3].max() < 0.01
+
+
+def test_mask_noice(md):
+    m = calc_mask_noice(md, "none")
+    assert not bool(m.any())
+    m = calc_mask_noice(md, "MISMIP_mod")
+    assert not bool(m.any())  # small domain, all within 900 km
+
+
+def test_sliding_laws(md):
+    from ufemism2_tpu.core.ice.sliding import calc_basal_friction_coefficient
+    nV = md.nV
+    Hi = jnp.full(nV, 1000.0)
+    Hb = jnp.full(nV, 100.0)
+    SL = jnp.zeros(nV)
+    m = determine_masks(md, Hi, Hb, SL)
+    fg = jnp.ones(nV)
+    u = jnp.full(nV, 100.0)
+    v = jnp.zeros(nV)
+    slope = jnp.zeros(nV)
+    for law in ["Weertman", "Coulomb", "Budd", "Tsai2015", "Schoof2005",
+                "Zoet-Iverson"]:
+        C = Config(choice_sliding_law=law,
+                   choice_basal_hydrology_model="Martin2011")
+        from ufemism2_tpu.core.ice.ssadiva import _bed_roughness_fields
+        rough = _bed_roughness_fields(C, md)
+        beta = calc_basal_friction_coefficient(
+            C, md, rough, u, v, Hi, Hi, Hb, SL, slope, fg, m)
+        beta = np.asarray(beta)
+        assert np.isfinite(beta).all() and (beta >= 0).all(), law
+        # friction decreases (or stays) with speed for velocity-weakening
+        # laws: tau = beta*u should increase with u
+        C2 = Config(choice_sliding_law=law,
+                    choice_basal_hydrology_model="Martin2011")
+        beta2 = np.asarray(calc_basal_friction_coefficient(
+            C2, md, rough, u * 2, v, Hi, Hi, Hb, SL, slope, fg, m))
+        tau1, tau2 = beta * 100.0, beta2 * 200.0
+        assert (tau2 >= tau1 * 0.99).all(), law
+
+
+def test_thermo_pieces(md):
+    from ufemism2_tpu.core.ice.thermodynamics import (
+        calc_heat_capacity, calc_thermal_conductivity,
+        calc_pressure_melting_point)
+    C = Config(choice_ice_heat_capacity="Pounder1965",
+               choice_ice_thermal_conductivity="Ritz1987")
+    Ti = jnp.full((md.nV, md.nz), 260.0)
+    cp = np.asarray(calc_heat_capacity(C, Ti))
+    k = np.asarray(calc_thermal_conductivity(C, Ti))
+    assert 1800 < cp.mean() < 2200
+    assert 5e7 < k.mean() < 9e7     # J yr^-1 m^-1 K^-1
+    pmp = np.asarray(calc_pressure_melting_point(md, jnp.full(md.nV, 3000.0)))
+    assert pmp[:, 0].max() <= 273.16 + 1e-9
+    assert (pmp[:, -1] < pmp[:, 0]).all()
