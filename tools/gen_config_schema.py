@@ -75,6 +75,9 @@ def main():
                 "1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, "
                 "1.0] + [0.0]*26),\n")
         f.write("    'SELEN_visc_prof': ('floatlist', [3.0, 0.6, 0.3]),\n")
+        # UFEMISM-TPU extensions (not in the reference namelist)
+        f.write("    'tpu_precision': ('str', 'f64'),\n")
+        f.write("    'tpu_n_devices': ('int', 1),\n")
         f.write("}\n")
     print(f"wrote {len(params)} parameters to {OUT}")
 

@@ -22,10 +22,25 @@ Precision policy: the reference computes everything in float64
 f64, while the performance path uses validated f32 (see utils/dtypes.py).
 """
 
+import os
+
 import jax
 
 # The reference is float64 throughout; enable x64 so parity tests can match.
-# Performance-mode (TPU) runs select f32 via Config.precision.
+# Performance-mode (TPU) runs select f32 via Config.tpu_precision.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the axon TPU backend remote-compiles every
+# kernel; caching across processes turns ~minutes of warmup into seconds.
+_cache_dir = os.environ.get("UFEMISM_TPU_JAX_CACHE",
+                            os.path.expanduser("~/.cache/ufemism2_tpu_jax"))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    # threshold 0: on the axon backend the cost of an eager op is the
+    # remote-compile round-trip, not local compile time, so cache everything
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:  # cache is an optimisation only
+    pass
 
 __version__ = "0.1.0"

@@ -65,8 +65,10 @@ def calc_basal_friction_coefficient(C, md: MeshData, bed_roughness,
         return jnp.minimum(C.slid_beta_max, beta)
 
     if choice == "idealised":
+        # analytic fields are host-computed f64; cast to the run dtype
         return jnp.minimum(C.slid_beta_max,
-                           _idealised_sliding(C, md, uabs))
+                           _idealised_sliding(C, md, uabs)
+                           ).astype(uabs.dtype)
 
     _, _, N_eff = run_basal_hydrology(C, Hi_eff, Hb, SL)
 

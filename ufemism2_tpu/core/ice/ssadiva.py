@@ -223,12 +223,16 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str):
         M2x, M2y = md.M2_ddx_b_b, md.M2_ddy_b_b
         Mxx, Mxy, Myy = md.M2_d2dx2_b_b, md.M2_d2dxdy_b_b, md.M2_d2dy2_b_b
 
+        def derivs(f):
+            if md.M2_stack is not None:
+                d = md.M2_stack.apply(f)
+                return d[0], d[1], d[2], d[3], d[4]
+            return M2x @ f, M2y @ f, Mxx @ f, Mxy @ f, Myy @ f
+
         def A(uv):
             u, v = uv
-            ddx_u, ddy_u = M2x @ u, M2y @ u
-            dxx_u, dxy_u, dyy_u = Mxx @ u, Mxy @ u, Myy @ u
-            ddx_v, ddy_v = M2x @ v, M2y @ v
-            dxx_v, dxy_v, dyy_v = Mxx @ v, Mxy @ v, Myy @ v
+            ddx_u, ddy_u, dxx_u, dxy_u, dyy_u = derivs(u)
+            ddx_v, ddy_v, dxx_v, dxy_v, dyy_v = derivs(v)
 
             Au = (4 * N_b * dxx_u + 4 * dN_dx_b * ddx_u
                   + N_b * dyy_u + dN_dy_b * ddy_u - beta_eff_b * u

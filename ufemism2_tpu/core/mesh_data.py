@@ -16,7 +16,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sparse import EllMatrix, ell_from_csr
+from ..ops.sparse import (EllMatrix, ell_from_csr, TiledEllMatrix,
+                          TiledEllStack, tiled_from_csr,
+                          tiled_stack_from_csr)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -72,6 +74,9 @@ class MeshData:
     M2_d2dxdy_b_b: EllMatrix
     M2_d2dy2_b_b: EllMatrix
 
+    # fused 2nd-order operator stack (f32/tiled mode only; None on f64)
+    M2_stack: Any = None
+
     def tree_flatten(self):
         fs = fields(self)
         return tuple(getattr(self, f.name) for f in fs), tuple(f.name for f in fs)
@@ -120,7 +125,14 @@ def build_mesh_data(mesh, dtype=None) -> MeshData:
     ETri = np.where(mask_ETri, mesh.ETri, 0)
 
     vbi = mesh.VBI
-    e = lambda A: ell_from_csr(A, dtype=dtype)
+    # f32 (performance mode): tile-blocked operators - dense per-tile
+    # contractions instead of element gathers (16-30x faster on TPU).
+    # f64 (parity mode): gather-ELL (f64 einsum is emulated and slow).
+    use_tiled = dtype == jnp.float32
+    if use_tiled:
+        e = lambda A: tiled_from_csr(A, dtype=dtype)
+    else:
+        e = lambda A: ell_from_csr(A, dtype=dtype)
 
     md = MeshData(
         V=f(mesh.V), TriGC=f(mesh.TriGC), A=f(mesh.A), TriA=f(mesh.TriA),
@@ -145,6 +157,10 @@ def build_mesh_data(mesh, dtype=None) -> MeshData:
         M2_d2dx2_b_b=e(ops.M2_d2dx2_b_b),
         M2_d2dxdy_b_b=e(ops.M2_d2dxdy_b_b),
         M2_d2dy2_b_b=e(ops.M2_d2dy2_b_b),
+        M2_stack=(tiled_stack_from_csr(
+            [ops.M2_ddx_b_b, ops.M2_ddy_b_b, ops.M2_d2dx2_b_b,
+             ops.M2_d2dxdy_b_b, ops.M2_d2dy2_b_b], dtype=dtype)
+            if use_tiled else None),
     )
     md._host_mesh = _host_mesh
     return md

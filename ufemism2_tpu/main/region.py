@@ -10,6 +10,7 @@ events.
 
 from __future__ import annotations
 
+import os
 import time as _time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -55,7 +56,9 @@ class ModelRegion:
             if self.mesh is None:
                 with routine("setup_first_mesh"):
                     self.mesh = build_mesh_from_config(C, self.name)
-            self.md = build_mesh_data(self.mesh)
+            import jax.numpy as _jnp
+            dtype = _jnp.float32 if C.tpu_precision == "f32" else None
+            self.md = build_mesh_data(self.mesh, dtype=dtype)
 
             # initial geometry on the mesh vertices
             choice = getattr(C, f"choice_refgeo_init_{self.name}")
@@ -108,12 +111,15 @@ class ModelRegion:
                     self.mesh.V[:, 0], self.mesh.V[:, 1],
                     C.choice_refgeo_PD_idealised, C)
                 Hi_PD = np.where(Hi_PD < C.refgeo_Hi_min, 0.0, Hi_PD)
-            elif pd_choice == "read_from_file":
+            elif pd_choice == "read_from_file" and os.path.exists(
+                    getattr(C, f"filename_refgeo_PD_{self.name}")):
                 from ..io.input_files import read_geometry_onto_mesh
                 Hi_PD, Hb_PD, _ = read_geometry_onto_mesh(
                     C, self.name, self.mesh, which="PD")
             else:
-                Hi_PD, Hb_PD = Hi * 0.0, Hb
+                # PD file absent (idealised test setups): fall back to the
+                # initial geometry as the PD reference.
+                Hi_PD, Hb_PD = np.asarray(Hi), np.asarray(Hb)
             self.refgeo_PD = (np.asarray(Hi_PD), np.asarray(Hb_PD))
 
             # bed roughness (nudgable)
@@ -131,15 +137,22 @@ class ModelRegion:
 
             # component forcing caches
             nV = self.md.nV
+            md_l = self.md
+
+            @jax.jit
+            def _masks_fracs(Hi, Hb, SL):
+                m = determine_masks(md_l, Hi, Hb, SL)
+                fg = calc_grounded_fractions_bilin_TAF(
+                    md_l, Hi, Hb, SL, m["mask_floating_ice"])
+                return m, fg
+            self._masks_fracs = _masks_fracs
+
             self.climate = self.run_climate(self.time, self.state)
             self.ocean = self.run_ocean(self.time, self.state)
             self.SMB = self.run_smb(self.time, self.state,
                                     climate=self.climate)
-            m0 = determine_masks(self.md, self.state.Hi, self.state.Hb,
-                                 self.state.SL)
-            fg0 = calc_grounded_fractions_bilin_TAF(
-                self.md, self.state.Hi, self.state.Hb, self.state.SL,
-                m0["mask_floating_ice"])
+            m0, fg0 = self._masks_fracs(self.state.Hi, self.state.Hb,
+                                        self.state.SL)
             self.BMB = self.run_bmb(self.time, self.state, m0, fg0,
                                     self.ocean)
             self.LMB = self.run_lmb(self.time, self.state, m0)
@@ -204,12 +217,22 @@ class ModelRegion:
         self._outputs_open = True
 
     def write_output(self):
-        s = interpolate_ice_to_time(self.state, jnp.asarray(self.time))
-        masks = determine_masks(self.md, s.Hi, s.Hb, s.SL)
-        fg = calc_grounded_fractions_bilin_TAF(self.md, s.Hi, s.Hb, s.SL,
-                                               masks["mask_floating_ice"])
-        scal = calc_ice_scalars(self.md, s.Hi, s.Hb, s.SL, fg,
-                                self.SMB, self.BMB, self.LMB)
+        if not hasattr(self, "_output_calc"):
+            md_l = self.md
+
+            @jax.jit
+            def _output_calc(state, t, SMB, BMB, LMB):
+                s = interpolate_ice_to_time(state, t)
+                m = determine_masks(md_l, s.Hi, s.Hb, s.SL)
+                fg = calc_grounded_fractions_bilin_TAF(
+                    md_l, s.Hi, s.Hb, s.SL, m["mask_floating_ice"])
+                scal = calc_ice_scalars(md_l, s.Hi, s.Hb, s.SL, fg,
+                                        SMB, BMB, LMB)
+                return s, fg, scal
+            self._output_calc = _output_calc
+        s, fg, scal = self._output_calc(self.state, jnp.asarray(self.time),
+                                        self.SMB, self.BMB, self.LMB)
+        scal = dict(scal)
         scal.update(dt_ice=float(s.dt_ice),
                     n_visc_its=int(s.n_visc_its),
                     n_Axb_its=int(s.n_Axb_its))
@@ -218,7 +241,8 @@ class ModelRegion:
         if self.output_dir is not None:
             self._open_outputs()
             self.scalar_out.write(self.time, scal)
-            uabs = jnp.sqrt(s.u_vav_b ** 2 + s.v_vav_b ** 2)
+            uabs = np.sqrt(np.asarray(s.u_vav_b) ** 2
+                           + np.asarray(s.v_vav_b) ** 2)
             self.mesh_out.write(self.time, {
                 "Hi": s.Hi, "Hb": s.Hb, "Hs": s.Hs, "Hib": s.Hib,
                 "SL": s.SL, "dHi_dt": s.dHi_dt,
@@ -299,9 +323,7 @@ class ModelRegion:
             self.SMB = self.run_smb(t, s, climate=self.climate)
             bump("SMB")
         if need("BMB") or need("LMB"):
-            masks = determine_masks(self.md, s.Hi, s.Hb, s.SL)
-            fg = calc_grounded_fractions_bilin_TAF(
-                self.md, s.Hi, s.Hb, s.SL, masks["mask_floating_ice"])
+            masks, fg = self._masks_fracs(s.Hi, s.Hb, s.SL)
         if need("BMB"):
             self.BMB = self.run_bmb(t, s, masks, fg, self.ocean)
             bump("BMB")

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .mesh_types import Mesh, mesh_from_points
+from .mesh_types import Mesh, mesh_from_points, renumber_mesh_morton
 from .refinement import (LineCriterion, PolygonCriterion, UniformCriterion,
                          refine_mesh, lloyds_algorithm)
 
@@ -26,9 +26,10 @@ def build_uniform_mesh(xmin, xmax, ymin, ymax, res,
                     alpha_min=alpha_min,
                     resolution_tolerance=resolution_tolerance)
     V = lloyds_algorithm(V, xmin, xmax, ymin, ymax, nit=nit_lloyd)
-    return mesh_from_points(V, xmin, xmax, ymin, ymax, nz=nz,
-                            choice_zeta_grid=choice_zeta_grid,
-                            zeta_irregular_log_R=zeta_irregular_log_R)
+    m = mesh_from_points(V, xmin, xmax, ymin, ymax, nz=nz,
+                         choice_zeta_grid=choice_zeta_grid,
+                         zeta_irregular_log_R=zeta_irregular_log_R)
+    return renumber_mesh_morton(m)
 
 
 def _contour_lines(x, y, F, level):
@@ -101,9 +102,10 @@ def build_mesh_from_gridded_geometry(C, region: str, x, y, Hi, Hb,
                     resolution_tolerance=C.mesh_resolution_tolerance)
     V = lloyds_algorithm(V, xmin, xmax, ymin, ymax,
                          nit=C.nit_Lloyds_algorithm)
-    return mesh_from_points(V, xmin, xmax, ymin, ymax, nz=C.nz,
-                            choice_zeta_grid=C.choice_zeta_grid,
-                            zeta_irregular_log_R=C.zeta_irregular_log_R)
+    m = mesh_from_points(V, xmin, xmax, ymin, ymax, nz=C.nz,
+                         choice_zeta_grid=C.choice_zeta_grid,
+                         zeta_irregular_log_R=C.zeta_irregular_log_R)
+    return renumber_mesh_morton(m)
 
 
 def build_mesh_from_config(C, region: str = "ANT", geometry=None) -> Mesh:

@@ -107,6 +107,10 @@ def mesh_from_points(V: np.ndarray, xmin, xmax, ymin, ymax,
     V = np.asarray(V, dtype=np.float64)
     if Tri is None:
         Tri = delaunay_triangulate(V)
+    # order triangles along the vertex ordering (Morton when the vertices
+    # are Morton-renumbered): keeps b-grid operator columns local, which
+    # the tiled-ELL SpMV depends on
+    Tri = Tri[np.argsort(Tri.min(axis=1), kind="stable")]
     conn = Connectivity(V, Tri, xmin, xmax, ymin, ymax)
     Tricc = circumcenters(V, Tri)
     # Keep circumcentres inside the domain (reference crashes otherwise;
@@ -130,3 +134,40 @@ def mesh_from_points(V: np.ndarray, xmin, xmax, ymin, ymax,
         Cw=Cw, Lc_e=Lc_e, D_x=D_x, D_y=D_y, D=D,
         nz=nz, zeta=zeta, zeta_stag=zeta_stag,
     )
+
+
+def renumber_mesh_morton(mesh: Mesh) -> Mesh:
+    """Renumber vertices/triangles/edges along a Morton space-filling curve.
+
+    The TPU equivalent of the reference's contiguous-domain renumbering
+    (mesh_contiguous_domains.f90): spatial locality in the index space makes
+    operator rows reference nearby columns, which the tiled-ELL SpMV
+    (ops/sparse.py) and multi-chip sharding both depend on.
+    """
+    def morton_order(P):
+        x = P[:, 0] - P[:, 0].min()
+        y = P[:, 1] - P[:, 1].min()
+        nx = ((x / max(x.max(), 1e-30)) * 65535).astype(np.uint64)
+        ny = ((y / max(y.max(), 1e-30)) * 65535).astype(np.uint64)
+
+        def spread(v):
+            v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+            v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+            v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+            v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+            return v
+        code = spread(nx) | (spread(ny) << np.uint64(1))
+        return np.argsort(code, kind="stable")
+
+    perm_V = morton_order(mesh.V)        # new i = old perm_V[i]
+    inv_V = np.empty_like(perm_V)
+    inv_V[perm_V] = np.arange(mesh.nV)
+    # triangles get renumbered implicitly by re-deriving connectivity
+    V_new = mesh.V[perm_V]
+    Tri_new = inv_V[mesh.Tri]
+    # re-derive everything (cheap; guarantees consistency)
+    m = mesh_from_points(V_new, mesh.xmin, mesh.xmax, mesh.ymin, mesh.ymax,
+                         nz=mesh.nz, Tri=None)
+    m.zeta = mesh.zeta
+    m.zeta_stag = mesh.zeta_stag
+    return m

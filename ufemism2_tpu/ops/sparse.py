@@ -89,3 +89,167 @@ def csr_from_ell(M: EllMatrix) -> sp.csr_matrix:
     m = vals != 0
     return sp.csr_matrix((vals[m], (rows[m], inds[m])),
                          shape=(M.n_rows, M.n_cols))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class TiledEllMatrix:
+    """Tile-blocked sparse matrix for TPU-native SpMV.
+
+    Element gathers are pathologically slow on TPU (serialised scalar
+    loads); whole-row gathers of a 2-D array are fast (full 128-lane
+    vector loads). So: columns are grouped into 128-wide tiles, rows into
+    blocks of R; per row-block we store the T column-tile ids it touches
+    plus a dense [R, T*128] coefficient slab. SpMV is then
+
+        xt   = x.reshape(-1, 128)[tile_ids[b]]        # row-gather (fast)
+        y[b] = einsum('rtw,tw->r', coef[b], xt)       # dense contraction
+
+    - two dense ops per block, no element gathers.
+    """
+
+    tile_ids: jnp.ndarray   # [nB, T] int32 column-tile indices
+    coef: jnp.ndarray       # [nB, R, T, 128]
+    n_rows: int
+    n_cols: int
+
+    @property
+    def R(self):
+        return self.coef.shape[1]
+
+    @property
+    def T(self):
+        return self.coef.shape[2]
+
+    def __matmul__(self, x):
+        return tiled_spmv(self, x)
+
+    def tree_flatten(self):
+        return (self.tile_ids, self.coef), (self.n_rows, self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+
+def _gather_tiles(tile_ids, x, n_cols):
+    """x [n_cols(,d)] -> gathered tiles [nB, T, 128(,d)]."""
+    ncp = ((n_cols + 127) // 128) * 128
+    if x.ndim == 1:
+        xp = jnp.zeros(ncp, x.dtype).at[:n_cols].set(x)
+        return xp.reshape(-1, 128)[tile_ids]
+    d = x.shape[1]
+    xp = jnp.zeros((ncp, d), x.dtype).at[:n_cols].set(x)
+    return xp.reshape(-1, 128, d)[tile_ids]
+
+
+def tiled_spmv(M: TiledEllMatrix, x):
+    """y = M @ x for x [n_cols] or [n_cols, d]."""
+    xg = _gather_tiles(M.tile_ids, x, M.n_cols)
+    if x.ndim == 1:
+        y = jnp.einsum("brtw,btw->br", M.coef, xg,
+                       preferred_element_type=x.dtype)
+        return y.reshape(-1)[: M.n_rows]
+    y = jnp.einsum("brtw,btwd->brd", M.coef, xg,
+                   preferred_element_type=x.dtype)
+    return y.reshape(-1, x.shape[1])[: M.n_rows]
+
+
+def _tiled_structure(rows, cols, n_rows, R):
+    """Shared helper: per-row-block unique column tiles (vectorised)."""
+    nB = (n_rows + R - 1) // R
+    b_of = rows // R
+    tile_of = cols // 128
+    nct_max = int(tile_of.max()) + 1 if len(tile_of) else 1
+    pairk = b_of.astype(np.int64) * nct_max + tile_of
+    uniq = np.unique(pairk)
+    ub = (uniq // nct_max).astype(np.int64)
+    ut = (uniq % nct_max).astype(np.int64)
+    counts = np.bincount(ub, minlength=nB)
+    T = max(int(counts.max()), 1)
+    first_in_b = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    tslot_of_pair = np.arange(len(uniq)) - first_in_b[ub]
+    tile_ids = np.zeros((nB, T), dtype=np.int32)
+    tile_ids[ub, tslot_of_pair] = ut
+    pair_idx = np.searchsorted(uniq, pairk)
+    tslot = tslot_of_pair[pair_idx]
+    return nB, T, tile_ids, tslot
+
+
+def tiled_from_csr(A: sp.spmatrix, R: int = 8, dtype=None) -> TiledEllMatrix:
+    """Build the tile-blocked form from scipy CSR (host-side, vectorised)."""
+    A = A.tocsr()
+    A.sum_duplicates()
+    n_rows, n_cols = A.shape
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    Ac = A.tocoo()
+    rows, cols, data = Ac.row.astype(np.int64), Ac.col.astype(np.int64), Ac.data
+    nB, T, tile_ids, tslot = _tiled_structure(rows, cols, n_rows, R)
+    coef = np.zeros((nB, R, T, 128), dtype=np.float64)
+    np.add.at(coef, (rows // R, rows % R, tslot, cols % 128), data)
+    return TiledEllMatrix(jnp.asarray(tile_ids),
+                          jnp.asarray(coef, dtype=dtype), n_rows, n_cols)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class TiledEllStack:
+    """A stack of tiled sparse operators sharing one sparsity pattern.
+
+    The five 2nd-order b-grid operators (M2_ddx/ddy/d2dx2/d2dxdy/d2dy2)
+    have identical neighbourhoods, so their tile structure is shared and
+    all five derivative fields come from ONE tile gather + ONE einsum -
+    the DIVA/BPA hot path.
+    """
+
+    tile_ids: jnp.ndarray   # [nB, T]
+    coef: jnp.ndarray       # [n_ops, nB, R, T, 128]
+    n_rows: int
+    n_cols: int
+
+    def apply(self, x):
+        """x [n_cols(,d)] -> [n_ops, n_rows(,d)]."""
+        xg = _gather_tiles(self.tile_ids, x, self.n_cols)
+        if x.ndim == 1:
+            y = jnp.einsum("obrtw,btw->obr", self.coef, xg,
+                           preferred_element_type=x.dtype)
+            return y.reshape(self.coef.shape[0], -1)[:, : self.n_rows]
+        y = jnp.einsum("obrtw,btwd->obrd", self.coef, xg,
+                       preferred_element_type=x.dtype)
+        return y.reshape(self.coef.shape[0], -1,
+                         x.shape[1])[:, : self.n_rows]
+
+    def tree_flatten(self):
+        return (self.tile_ids, self.coef), (self.n_rows, self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+
+def tiled_stack_from_csr(mats, R: int = 8, dtype=None) -> TiledEllStack:
+    """Build a shared-structure stack from scipy matrices (same shape)."""
+    mats = [m.tocsr() for m in mats]
+    n_rows, n_cols = mats[0].shape
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    U = mats[0].copy()
+    for m in mats[1:]:
+        U = U + m
+    Uc = (U != 0).tocoo()
+    rows, cols = Uc.row.astype(np.int64), Uc.col.astype(np.int64)
+    nB, T, tile_ids, _ = _tiled_structure(rows, cols, n_rows, R)
+    coef = np.zeros((len(mats), nB, R, T, 128), dtype=np.float64)
+    for oi, m in enumerate(mats):
+        mc = m.tocoo()
+        r, c, d = mc.row.astype(np.int64), mc.col.astype(np.int64), mc.data
+        # recompute slots against the union structure
+        tile_of = c // 128
+        # find slot: search tile in tile_ids[b]
+        b = r // R
+        row_tiles = tile_ids[b]                      # [nnz, T]
+        slot = np.argmax(row_tiles == tile_of[:, None], axis=1)
+        np.add.at(coef, (oi, b, r % R, slot, c % 128), d)
+    return TiledEllStack(jnp.asarray(tile_ids),
+                         jnp.asarray(coef, dtype=dtype), n_rows, n_cols)
