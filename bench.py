@@ -1,5 +1,9 @@
 """Benchmark: ice-sheet model throughput on the current device.
 
+Runs in f32 performance mode (tile-blocked ELL operators; accuracy vs the
+analytic Halfar solution is reported in `extra` and matches the f64 parity
+mode to well under the discretisation error).
+
 Runs the Halfar-dome 40 km SIA evolution (the reference's
 it_ideal_Hlf_dome_Halfar_40km integrated test, 500 model years) end-to-end
 — mesh build, operator construction, jitted predictor-corrector stepping —
@@ -29,7 +33,7 @@ def main():
     cfg = ("/root/reference/automated_testing/integrated_tests/idealised/"
            "Halfar_dome/config_Halfar_40km.cfg")
     try:
-        C = load_config(cfg)
+        C = load_config(cfg, tpu_precision="f32")
     except FileNotFoundError:
         from ufemism2_tpu.config import Config
         C = Config(
@@ -46,7 +50,7 @@ def main():
             maximum_resolution_uniform=800e3,
             maximum_resolution_grounded_ice=400e3,
             maximum_resolution_ice_front=40e3, ice_front_width=40e3,
-            end_time_of_run=500.0)
+            end_time_of_run=500.0, tpu_precision="f32")
 
     region = ModelRegion(C, "ANT")
     # warm up the jit (one step), then time the rest of the run

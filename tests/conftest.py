@@ -10,6 +10,15 @@ if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# sitecustomize.py preloads jax before this conftest runs, so the env var
+# alone is too late: force the platform through the live config too (the
+# backend itself is not initialised until first use, so this still works).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert not jax._src.xla_bridge._backends, \
+    "a JAX backend initialised before conftest could force CPU"
+
 import numpy as np
 import pytest
 

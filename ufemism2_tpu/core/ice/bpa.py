@@ -97,7 +97,9 @@ def make_solve_bpa(C, md: MeshData):
         out = out.at[:, -1].set((f[:, -1] - f[:, -2]) / dzeta)
         return out
 
-    def solve(Hi, Hs, Hb, SL, Ti, s):
+    def solve(md, Hi, Hs, Hb, SL, Ti, s):
+        # md is the runtime MeshData jit argument (operators
+        # stay out of the compiled constant pool)
         masks = determine_masks(md, Hi, Hb, SL)
         A_flow = calc_ice_rheology_glen(C, md, Hi, Hs, Ti,
                                         masks["mask_grounded_ice"],
@@ -172,7 +174,7 @@ def make_solve_bpa(C, md: MeshData):
             v_base_a = md.M_map_b_a @ c.v[:, nz - 1]
             beta_a = calc_basal_friction_coefficient(
                 C, md, bed_roughness, u_base_a, v_base_a, Hi, Hi_eff, Hb,
-                SL, Hs_slope, fraction_gr, masks)
+                SL, Hs_slope, fraction_gr, masks, V_host=mesh.V)
             beta_b = md.M_map_a_b @ beta_a
             if C.do_GL_subgrid_friction:
                 beta_b = beta_b * \
@@ -283,8 +285,11 @@ def make_solve_bpa(C, md: MeshData):
             if no_sliding:
                 b_u = b_u.at[:, nz - 1].set(0.0)
                 b_v = b_v.at[:, nz - 1].set(0.0)
+            rtol = C.stress_balance_PETSc_rtol
+            if b_u.dtype == jnp.float32:   # f32 precision floor
+                rtol = max(rtol, 1e-5)
             res = gmres(A_op, (b_u, b_v), x0=(c.u, c.v), M=M_pre,
-                        rtol=C.stress_balance_PETSc_rtol,
+                        rtol=rtol,
                         abstol=C.stress_balance_PETSc_abstol)
             u_new, v_new = res.x
 

@@ -188,8 +188,13 @@ def calc_dHi_dt_semiimplicit(C, md: MeshData, Hi, Hb, SL, u_vav_b, v_vav_b,
         return H + dt * fs * divQ_op(H)
 
     M_pre = 1.0 / (1.0 + dt * fs * diag)
+    # f32 floor: relative residuals below ~100*eps_f32 are unreachable in
+    # single precision (tpu performance mode)
+    rtol = C.dHi_PETSc_rtol
+    if Hi.dtype == jnp.float32:
+        rtol = max(rtol, 1e-5)
     res = bicgstab(A, b, x0=Hi, M=lambda r: M_pre * r,
-                   rtol=C.dHi_PETSc_rtol, abstol=C.dHi_PETSc_abstol)
+                   rtol=rtol, abstol=C.dHi_PETSc_abstol)
     Hi_tplusdt = jnp.maximum(0.0, res.x)
     Hi_tplusdt = apply_ice_thickness_BC_explicit(C, md, mask_noice, Hb, SL,
                                                  Hi_tplusdt, bc_masks)

@@ -51,20 +51,20 @@ class _PCCarry(NamedTuple):
 def make_solve_stress_balance(C, md: MeshData):
     """Velocity solver dispatch (conservation_of_momentum_main.f90:37).
 
-    Returns fn(Hi, Hs, Hb, SL, Ti, state) ->
+    Returns fn(md, Hi, Hs, Hb, SL, Ti, state) ->
       (u_vav_b, v_vav_b, u_3D_b, v_3D_b, n_visc_its, n_Axb_its).
     """
     choice = C.choice_stress_balance_approximation
 
     if choice == "none":
-        def solve(Hi, Hs, Hb, SL, Ti, s):
+        def solve(md, Hi, Hs, Hb, SL, Ti, s):
             z = jnp.zeros_like(s.u_vav_b)
             z3 = jnp.zeros_like(s.u_3D_b)
             return z, z, z3, z3, jnp.int32(0), jnp.int32(0)
         return solve
 
     if choice == "SIA":
-        def solve(Hi, Hs, Hb, SL, Ti, s):
+        def solve(md, Hi, Hs, Hb, SL, Ti, s):
             masks = determine_masks(md, Hi, Hb, SL)
             A_flow = calc_ice_rheology_glen(
                 C, md, Hi, Hs, Ti, masks["mask_grounded_ice"],
@@ -86,7 +86,7 @@ def make_solve_stress_balance(C, md: MeshData):
 
 
 def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
-    """Build the jitted PC step: (state, dt_max) -> state.
+    """Build the jitted PC step: (md, state, dt_max) -> state.
 
     refgeo_Hi/Hb: present-day reference geometry on the mesh (used by
     alter_ice_thickness fixiness/limitness; zeros disable those paths).
@@ -111,7 +111,12 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
     refgeo_Hi = jnp.asarray(refgeo_Hi, md.A.dtype)
     refgeo_Hb = jnp.asarray(refgeo_Hb, md.A.dtype)
 
-    def pc_step(s: IceState, dt_max, SMB=None, BMB=None, LMB=None, AMB=None):
+    def pc_step(md, s: IceState, dt_max,
+                SMB=None, BMB=None, LMB=None, AMB=None):
+        # md: runtime MeshData pytree (jit argument). Passing it per call -
+        # instead of closing over it - keeps the multi-MB operator arrays
+        # out of the XLA constant pool (faster compiles; the axon remote
+        # backend crashes on very large inline constants).
         SMB = zerosSMB if SMB is None else SMB
         BMB = zerosSMB if BMB is None else BMB
         LMB = zerosSMB if LMB is None else LMB
@@ -166,7 +171,7 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
             # == stress balance on predicted geometry ==
             Hs_star = ice_surface_elevation(Hi_star, Hb, SL)
             uv, vv, u3, v3, nvi, nai = solve_stress_balance(
-                Hi_star, Hs_star, Hb, SL, Ti, s)
+                md, Hi_star, Hs_star, Hb, SL, Ti, s)
 
             # == corrector (original geometry, new velocities) ==
             dHdt_np1_raw, _, divQ, nsi2 = calc_dHi_dt(

@@ -51,7 +51,7 @@ def _extend_till_yield_to_neighbours(md: MeshData, masks, tau_y):
 
 def calc_basal_friction_coefficient(C, md: MeshData, bed_roughness,
                                     u_a, v_a, Hi, Hi_eff, Hb, SL, Hs_slope,
-                                    fraction_gr, masks):
+                                    fraction_gr, masks, V_host=None):
     """beta such that tau_b = beta * u (sliding_laws.f90:24).
 
     bed_roughness: dict with 'beta_sq', 'till_friction_angle', 'alpha_sq'
@@ -65,9 +65,11 @@ def calc_basal_friction_coefficient(C, md: MeshData, bed_roughness,
         return jnp.minimum(C.slid_beta_max, beta)
 
     if choice == "idealised":
-        # analytic fields are host-computed f64; cast to the run dtype
+        # analytic fields are host-computed f64; cast to the run dtype.
+        # V_host: host vertex coordinates (md.V may be a tracer when the
+        # MeshData is a jit argument - solver factories pass mesh.V).
         return jnp.minimum(C.slid_beta_max,
-                           _idealised_sliding(C, md, uabs)
+                           _idealised_sliding(C, md, uabs, V_host)
                            ).astype(uabs.dtype)
 
     _, _, N_eff = run_basal_hydrology(C, Hi_eff, Hb, SL)
@@ -115,10 +117,10 @@ def calc_basal_friction_coefficient(C, md: MeshData, bed_roughness,
     return jnp.minimum(C.slid_beta_max, beta)
 
 
-def _idealised_sliding(C, md: MeshData, uabs):
+def _idealised_sliding(C, md: MeshData, uabs, V_host=None):
     """Idealised sliding laws (host-computed static fields / analytic)."""
     choice = C.choice_idealised_sliding_law
-    V = np.asarray(md.V)
+    V = np.asarray(md.V) if V_host is None else np.asarray(V_host)
     if choice == "SSA_icestream":
         _, tau_y = schoof_icestream(
             C.uniform_Glens_flow_factor, C.Glens_flow_law_exponent,

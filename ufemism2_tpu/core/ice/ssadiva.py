@@ -219,7 +219,7 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str):
         s = jnp.where(mTriC, x[TriC], 0.0).sum(axis=1)
         return s - n_nbr * x
 
-    def make_A(N_b, dN_dx_b, dN_dy_b, beta_eff_b):
+    def make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b):
         M2x, M2y = md.M2_ddx_b_b, md.M2_ddy_b_b
         Mxx, Mxy, Myy = md.M2_d2dx2_b_b, md.M2_d2dxdy_b_b, md.M2_d2dy2_b_b
 
@@ -271,7 +271,10 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str):
                     (-avu * ru + auu * rv) / det)
         return M
 
-    def solve(Hi, Hs, Hb, SL, Ti, s):
+    def solve(md, Hi, Hs, Hb, SL, Ti, s):
+        # md is the RUNTIME MeshData pytree (a jit argument,
+        # not a closure constant): keeps the big operator
+        # arrays out of the compiled graph's constant pool.
         masks = determine_masks(md, Hi, Hb, SL)
         A_flow = calc_ice_rheology_glen(C, md, Hi, Hs, Ti,
                                         masks["mask_grounded_ice"],
@@ -350,7 +353,7 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str):
             v_base_a = md.M_map_b_a @ c.v_base
             beta_b_a = calc_basal_friction_coefficient(
                 C, md, bed_roughness, u_base_a, v_base_a, Hi, Hi_eff, Hb, SL,
-                Hs_slope, fraction_gr, masks)
+                Hs_slope, fraction_gr, masks, V_host=mesh.V)
 
             if is_diva:
                 if no_sliding:
@@ -366,7 +369,7 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str):
                     fraction_gr_b ** C.subgrid_friction_exponent_on_B_grid
 
             # linear solve (matrix-free BiCGSTAB)
-            A = make_A(N_b, dN_dx_b, dN_dy_b, beta_eff_b)
+            A = make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b)
             M = make_precond(N_b, dN_dx_b, dN_dy_b, beta_eff_b)
             b_u = jnp.where(bc_free, -tau_dx_b, 0.0)
             b_v = jnp.where(bc_free, -tau_dy_b, 0.0)
@@ -379,8 +382,14 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str):
                 v_fix = C.visc_it_relax * v_fix + (1 - C.visc_it_relax) * c.v
                 b_u = jnp.where(bc_fix_u, u_fix, b_u)
                 b_v = jnp.where(bc_fix_v, v_fix, b_v)
+            # f32 floor: a relative residual below ~100*eps_f32 is not
+            # reachable in single precision; the Picard loop tolerates the
+            # looser inner solve (inexact-Newton argument)
+            rtol = C.stress_balance_PETSc_rtol
+            if dtype == jnp.float32:
+                rtol = max(rtol, 1e-5)
             res = gmres(A, (b_u, b_v), x0=(c.u, c.v), M=M,
-                        rtol=C.stress_balance_PETSc_rtol,
+                        rtol=rtol,
                         abstol=C.stress_balance_PETSc_abstol)
             u_new, v_new = res.x
 

@@ -97,11 +97,11 @@ class ModelRegion:
                                                        run_thermodynamics)
                 self._heat_solver = make_heat_solver(C, self.md)
                 self._geothermal = make_geothermal_flux(C, self.md)
-                md, heat, geo = self.md, self._heat_solver, self._geothermal
+                heat, geo = self._heat_solver, self._geothermal
                 dt_th = C.dt_thermodynamics
                 self._thermo_step = jax.jit(
-                    lambda s, T_surf, SMB, BMB: run_thermodynamics(
-                        C, md, s, dt_th, T_surf, SMB, BMB, heat, geo))
+                    lambda md_, s, T_surf, SMB, BMB: run_thermodynamics(
+                        C, md_, s, dt_th, T_surf, SMB, BMB, heat, geo))
 
             # present-day reference geometry (for alter_ice_thickness
             # fixiness/limitness and nudging targets)
@@ -137,13 +137,11 @@ class ModelRegion:
 
             # component forcing caches
             nV = self.md.nV
-            md_l = self.md
-
             @jax.jit
-            def _masks_fracs(Hi, Hb, SL):
-                m = determine_masks(md_l, Hi, Hb, SL)
+            def _masks_fracs(md_, Hi, Hb, SL):
+                m = determine_masks(md_, Hi, Hb, SL)
                 fg = calc_grounded_fractions_bilin_TAF(
-                    md_l, Hi, Hb, SL, m["mask_floating_ice"])
+                    md_, Hi, Hb, SL, m["mask_floating_ice"])
                 return m, fg
             self._masks_fracs = _masks_fracs
 
@@ -151,8 +149,8 @@ class ModelRegion:
             self.ocean = self.run_ocean(self.time, self.state)
             self.SMB = self.run_smb(self.time, self.state,
                                     climate=self.climate)
-            m0, fg0 = self._masks_fracs(self.state.Hi, self.state.Hb,
-                                        self.state.SL)
+            m0, fg0 = self._masks_fracs(self.md, self.state.Hi,
+                                        self.state.Hb, self.state.SL)
             self.BMB = self.run_bmb(self.time, self.state, m0, fg0,
                                     self.ocean)
             self.LMB = self.run_lmb(self.time, self.state, m0)
@@ -218,19 +216,18 @@ class ModelRegion:
 
     def write_output(self):
         if not hasattr(self, "_output_calc"):
-            md_l = self.md
-
             @jax.jit
-            def _output_calc(state, t, SMB, BMB, LMB):
+            def _output_calc(md_, state, t, SMB, BMB, LMB):
                 s = interpolate_ice_to_time(state, t)
-                m = determine_masks(md_l, s.Hi, s.Hb, s.SL)
+                m = determine_masks(md_, s.Hi, s.Hb, s.SL)
                 fg = calc_grounded_fractions_bilin_TAF(
-                    md_l, s.Hi, s.Hb, s.SL, m["mask_floating_ice"])
-                scal = calc_ice_scalars(md_l, s.Hi, s.Hb, s.SL, fg,
+                    md_, s.Hi, s.Hb, s.SL, m["mask_floating_ice"])
+                scal = calc_ice_scalars(md_, s.Hi, s.Hb, s.SL, fg,
                                         SMB, BMB, LMB)
                 return s, fg, scal
             self._output_calc = _output_calc
-        s, fg, scal = self._output_calc(self.state, jnp.asarray(self.time),
+        s, fg, scal = self._output_calc(self.md, self.state,
+                                        jnp.asarray(self.time),
                                         self.SMB, self.BMB, self.LMB)
         scal = dict(scal)
         scal.update(dt_ice=float(s.dt_ice),
@@ -280,7 +277,7 @@ class ModelRegion:
                 # ice dynamics: advance prediction window if due
                 if float(self.state.t_Hi_next) <= self.time + 1e-9:
                     self.state = self.pc_step(
-                        self.state,
+                        self.md, self.state,
                         jnp.asarray(min(dt_max,
                                         max(t_end - float(self.state.t_Hi_next),
                                             C.dt_ice_min))),
@@ -323,7 +320,7 @@ class ModelRegion:
             self.SMB = self.run_smb(t, s, climate=self.climate)
             bump("SMB")
         if need("BMB") or need("LMB"):
-            masks, fg = self._masks_fracs(s.Hi, s.Hb, s.SL)
+            masks, fg = self._masks_fracs(self.md, s.Hi, s.Hb, s.SL)
         if need("BMB"):
             self.BMB = self.run_bmb(t, s, masks, fg, self.ocean)
             bump("BMB")
@@ -337,7 +334,8 @@ class ModelRegion:
             bump("GIA")
         if need("thermo") and self.do_thermo:
             T_surf = self.climate["T2m"].mean(axis=1)
-            Ti_new, _ = self._thermo_step(s, T_surf, self.SMB, self.BMB)
+            Ti_new, _ = self._thermo_step(self.md, s, T_surf,
+                                          self.SMB, self.BMB)
             self.state = self.state.replace(Ti=Ti_new)
             bump("thermo")
         if need("bed_roughness") and getattr(self, "do_nudging", False):
@@ -427,7 +425,8 @@ def _region_update_mesh(region):
     Ti_new = jnp.asarray(M_cons @ np.asarray(s.Ti))
 
     region.mesh = new_mesh
-    region.md = build_mesh_data(new_mesh)
+    dtype = jnp.float32 if C.tpu_precision == "f32" else None
+    region.md = build_mesh_data(new_mesh, dtype=dtype)
     new_state = init_ice_state(region.md, Hi_new, Hb_new, SL_new, nz=C.nz,
                                dt_init=float(s.pc.dt_np1))
     new_state = new_state.replace(
@@ -467,11 +466,11 @@ def _region_update_mesh(region):
         import jax
         region._heat_solver = make_heat_solver(C, region.md)
         region._geothermal = make_geothermal_flux(C, region.md)
-        md, heat, geo = region.md, region._heat_solver, region._geothermal
+        heat, geo = region._heat_solver, region._geothermal
         dt_th = C.dt_thermodynamics
         region._thermo_step = jax.jit(
-            lambda st, T_surf, SMB, BMB: run_thermodynamics(
-                C, md, st, dt_th, T_surf, SMB, BMB, heat, geo))
+            lambda md_, st, T_surf, SMB, BMB: run_thermodynamics(
+                C, md_, st, dt_th, T_surf, SMB, BMB, heat, geo))
 
     # refresh component forcings + reset their clocks to now
     t = region.time

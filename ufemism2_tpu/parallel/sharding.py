@@ -26,6 +26,11 @@ MESH_AXIS = "mesh"
 def make_device_mesh(n_devices: int | None = None) -> JMesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(
+            f"requested a {n}-device mesh but only {len(devs)} JAX devices "
+            f"exist (set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n} BEFORE the first jax backend initialisation)")
     return JMesh(np.array(devs[:n]), (MESH_AXIS,))
 
 

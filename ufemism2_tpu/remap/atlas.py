@@ -49,17 +49,16 @@ def _polys_of(obj, grid_type="vertices"):
         p, nv = grid_polygons(obj)
         return p, nv, obj.centres(), None, None
     if isinstance(obj, Mesh):
+        if obj.operators is None:
+            # gradient operators are required for the 2nd-order correction
+            from ..mesh.operators import build_all_matrix_operators
+            obj.operators = build_all_matrix_operators(obj)
+        ops = obj.operators
         if grid_type == "vertices":
             p, nv = mesh_voronoi_polygons(obj)
-            ops = obj.operators
-            Dx = ops.M_ddx_a_a if ops else None
-            Dy = ops.M_ddy_a_a if ops else None
-            return p, nv, obj.V, Dx, Dy
+            return p, nv, obj.V, ops.M_ddx_a_a, ops.M_ddy_a_a
         p, nv = mesh_triangle_polygons(obj)
-        ops = obj.operators
-        Dx = ops.M_ddx_b_b if ops else None
-        Dy = ops.M_ddy_b_b if ops else None
-        return p, nv, obj.TriGC, Dx, Dy
+        return p, nv, obj.TriGC, ops.M_ddx_b_b, ops.M_ddy_b_b
     raise TypeError(f"cannot remap from {type(obj)}")
 
 
