@@ -151,22 +151,25 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
                     & ~masks_prev["mask_gl_gr"] & (fraction_gr == 1.0))
 
         def body(c: _PCCarry) -> _PCCarry:
-            dt_i = c.dt
+            dt_i = c.dt                      # f64 time bookkeeping
             zeta_t = dt_i / dt_n
+            fdt = Hi_prev.dtype              # field dtype (f32 in perf mode)
+            dtf = dt_i.astype(fdt)
+            ztf = zeta_t.astype(fdt)
 
             # == predictor (old velocities) ==
             dHdt_n_raw, _, _, nsi1 = calc_dHi_dt(
                 C, md, Hi_prev, Hb, SL, s.u_vav_b, s.v_vav_b,
                 SMB, BMB, LMB, None, fraction_margin, mask_noice,
-                dt_i, s.dHi_dt_target, bc_masks)
-            Hi_star = Hi_prev + dt_i * ((1 + zeta_t / 2) * dHdt_n_raw
-                                        - (zeta_t / 2) * dHdt_nm1)
+                dtf, s.dHi_dt_target, bc_masks)
+            Hi_star = Hi_prev + dtf * ((1 + ztf / 2) * dHdt_n_raw
+                                       - (ztf / 2) * dHdt_nm1)
             Hi_star = alter_ice_thickness(C, md, masks_prev, Hi_prev, Hb,
                                           SL, Hi_star, refgeo_Hi, refgeo_Hb,
                                           s.t_Hi_next)
             Hi_star = jnp.maximum(0.0, jnp.where(mask_noice, 0.0, Hi_star))
-            dHdt_n = (((Hi_star - Hi_prev) / dt_i
-                       + (zeta_t / 2) * dHdt_nm1) / (1 + zeta_t / 2))
+            dHdt_n = (((Hi_star - Hi_prev) / dtf
+                       + (ztf / 2) * dHdt_nm1) / (1 + ztf / 2))
 
             # == stress balance on predicted geometry ==
             Hs_star = ice_surface_elevation(Hi_star, Hb, SL)
@@ -177,19 +180,20 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
             dHdt_np1_raw, _, divQ, nsi2 = calc_dHi_dt(
                 C, md, Hi_prev, Hb, SL, uv, vv,
                 SMB, BMB, LMB, None, fraction_margin, mask_noice,
-                dt_i, s.dHi_dt_target, bc_masks)
-            Hi_np1 = Hi_prev + (dt_i / 2) * (dHdt_n + dHdt_np1_raw)
+                dtf, s.dHi_dt_target, bc_masks)
+            Hi_np1 = Hi_prev + (dtf / 2) * (dHdt_n + dHdt_np1_raw)
             Hi_np1 = alter_ice_thickness(C, md, masks_prev, Hi_prev, Hb,
                                          SL, Hi_np1, refgeo_Hi, refgeo_Hb,
                                          s.t_Hi_next)
             _, u_perp, _ = make_divQ_operator(md, uv, vv, fraction_margin)
             Hi_np1, _ = calc_and_apply_spill_over_flux(
-                C, md, masks_prev, Hi_eff, u_perp, Hi_np1, dt_i)
+                C, md, masks_prev, Hi_eff, u_perp, Hi_np1, dtf)
             Hi_np1 = jnp.maximum(0.0, jnp.where(mask_noice, 0.0, Hi_np1))
-            dHdt_np1 = (Hi_np1 - Hi_prev) / (dt_i / 2) - dHdt_n
+            dHdt_np1 = (Hi_np1 - Hi_prev) / (dtf / 2) - dHdt_n
 
             # == truncation error (Eq. 32) ==
-            tau = zeta_t * jnp.abs(Hi_np1 - Hi_star) / ((3 * zeta_t + 3) * dt_n)
+            tau = ztf * jnp.abs(Hi_np1 - Hi_star) \
+                / ((3 * ztf + 3) * dt_n.astype(fdt))
             eta = jnp.maximum(eta_min, jnp.where(tau_mask, tau, 0.0).max())
 
             ok = eta < eps
@@ -223,7 +227,7 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
         # -- finalise: new prediction window -------------------------------
         t_next = s.t_Hi_next + out.dt
         Hi_next = out.Hi_np1
-        dHi_dt = (Hi_next - Hi_prev) / out.dt
+        dHi_dt = (Hi_next - Hi_prev) / out.dt.astype(Hi_next.dtype)
 
         return s.replace(
             t_Hi_prev=s.t_Hi_next, t_Hi_next=t_next,
@@ -248,13 +252,81 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
     return jax.jit(pc_step)
 
 
+def make_pc_multistep(C, pc_step, thermo_step=None):
+    """Device-side multi-step fast-forward: advance PC steps until the
+    prediction window covers t_stop, in ONE dispatch.
+
+    The reference's outer loop returns to the (MPI) host every ice step
+    (run_model_region); on TPU each host round-trip costs ~hundreds of ms
+    through the dispatch path, so between component events we keep the
+    whole stepping loop on-device under lax.while_loop. Component forcings
+    (SMB/BMB/LMB) are frozen inside the window - exactly the reference's
+    semantics, since t_stop never crosses a component event time.
+
+    With thermo_step given, the 3-D heat equation is also advanced
+    on-device at its own cadence C.dt_thermodynamics inside the window
+    (the reference interleaves thermodynamics the same way,
+    thermodynamics_main.f90), so thermo no longer fragments the window
+    into per-dt_thermo host round-trips.
+    """
+    dt_min = C.dt_ice_min
+    dt_th = C.dt_thermodynamics
+
+    if thermo_step is None:
+        def multi(md, s, t_stop, dt_max, SMB, BMB, LMB):
+            def cond(c):
+                s, n = c
+                return s.t_Hi_next < t_stop - 1e-9
+
+            def body(c):
+                s, n = c
+                cap = jnp.minimum(dt_max,
+                                  jnp.maximum(t_stop - s.t_Hi_next, dt_min))
+                return (pc_step(md, s, cap, SMB=SMB, BMB=BMB, LMB=LMB),
+                        n + 1)
+
+            return jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+
+        return jax.jit(multi)
+
+    def multi_th(md, s, t_stop, dt_max, SMB, BMB, LMB, T_surf, t_th0):
+        def cond(c):
+            s, n, t_th = c
+            return s.t_Hi_next < t_stop - 1e-9
+
+        def body(c):
+            s, n, t_th = c
+            cap = jnp.minimum(dt_max,
+                              jnp.maximum(t_stop - s.t_Hi_next, dt_min))
+            s = pc_step(md, s, cap, SMB=SMB, BMB=BMB, LMB=LMB)
+
+            # catch thermo up to the new prediction time (possibly several
+            # dt_th boundaries if the ice step out-paced them)
+            def th_cond(c2):
+                s2, t2 = c2
+                return t2 <= s.t_Hi_next + 1e-9
+
+            def th_body(c2):
+                s2, t2 = c2
+                si = interpolate_ice_to_time(s2, t2)
+                Ti_new, _ = thermo_step(md, si, T_surf, SMB, BMB)
+                return s2.replace(Ti=Ti_new), t2 + dt_th
+
+            s, t_th = jax.lax.while_loop(th_cond, th_body, (s, t_th))
+            return (s, n + 1, t_th)
+
+        return jax.lax.while_loop(cond, body, (s, jnp.int32(0), t_th0))
+
+    return jax.jit(multi_th)
+
+
 def interpolate_ice_to_time(s: IceState, t):
     """Hi at model time t inside the prediction window + derived geometry
     (ice_dynamics_main.f90:114-121)."""
     w = jnp.where(s.t_Hi_next > s.t_Hi_prev,
                   (t - s.t_Hi_prev) / jnp.maximum(s.t_Hi_next - s.t_Hi_prev,
                                                   1e-30), 1.0)
-    w = jnp.clip(w, 0.0, 1.0)
+    w = jnp.clip(w, 0.0, 1.0).astype(s.Hi_prev.dtype)
     Hi = (1 - w) * s.Hi_prev + w * s.Hi_next
     Hs = ice_surface_elevation(Hi, s.Hb, s.SL)
     return s.replace(Hi=Hi, Hs=Hs, Hib=Hs - Hi,

@@ -100,6 +100,9 @@ def init_ice_state(md, Hi, Hb, SL, nz: int, dt_init: float = 0.1,
     zeros_v = jnp.zeros(nV, dtype)
     zeros_t = jnp.zeros(nTri, dtype)
     f = lambda x: jnp.asarray(x, dtype)
+    # time bookkeeping stays float64 even in f32 performance mode:
+    # accumulating model time in f32 loses whole timesteps after ~1e7 units
+    ft = lambda x: jnp.asarray(x, jnp.float64)
     Hi, Hb, SL = f(Hi), f(Hb), f(SL)
     Hs = ice_surface_elevation(Hi, Hb, SL)
     bfalse = jnp.zeros(nV, bool)
@@ -108,7 +111,7 @@ def init_ice_state(md, Hi, Hb, SL, nz: int, dt_init: float = 0.1,
         TAF=thickness_above_flotation(Hi, Hb, SL),
         dHb=zeros_v,
         dHi_dt=zeros_v, divQ=zeros_v, dHi_dt_target=zeros_v,
-        t_Hi_prev=f(0.0), t_Hi_next=f(0.0),
+        t_Hi_prev=ft(0.0), t_Hi_next=ft(0.0),
         Hi_prev=Hi, Hi_next=Hi,
         mask_noice=bfalse, mask_icefree_land=bfalse,
         mask_icefree_ocean=bfalse, mask_grounded_ice=bfalse,
@@ -125,10 +128,10 @@ def init_ice_state(md, Hi, Hb, SL, nz: int, dt_init: float = 0.1,
         u_3D_b=jnp.zeros((nTri, nz), dtype),
         v_3D_b=jnp.zeros((nTri, nz), dtype),
         Ti=jnp.full((nV, nz), Ti_init, dtype),
-        pc=PCState(dt_n=f(dt_init), dt_np1=f(dt_init),
+        pc=PCState(dt_n=ft(dt_init), dt_np1=ft(dt_init),
                    eta_n=f(1e-8), eta_np1=f(1e-8),
                    dHi_dt_Hi_nm1_u_nm1=zeros_v),
-        dt_ice=f(dt_init),
+        dt_ice=ft(dt_init),
         n_visc_its=jnp.zeros((), jnp.int32),
         n_Axb_its=jnp.zeros((), jnp.int32),
     )

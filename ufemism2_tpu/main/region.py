@@ -23,7 +23,8 @@ import numpy as np
 from ..config import Config
 from ..core.mesh_data import build_mesh_data
 from ..core.ice.state import init_ice_state
-from ..core.ice.pc import make_pc_step, interpolate_ice_to_time
+from ..core.ice.pc import (make_pc_step, make_pc_multistep,
+                           interpolate_ice_to_time)
 from ..core.ice.masks import determine_masks
 from ..core.ice.subgrid import calc_grounded_fractions_bilin_TAF
 from ..core.ice.scalars import calc_ice_scalars
@@ -134,6 +135,12 @@ class ModelRegion:
 
             self.pc_step = make_pc_step(C, self.md, refgeo_Hi=Hi_PD,
                                         refgeo_Hb=Hb_PD)
+            self._thermo_fused = self.do_thermo
+            self.pc_multistep = make_pc_multistep(
+                C, self.pc_step,
+                thermo_step=self._thermo_step if self._thermo_fused
+                else None)
+            self.t_thermo_next = self.time + C.dt_thermodynamics
 
             # component forcing caches
             nV = self.md.nV
@@ -145,7 +152,46 @@ class ModelRegion:
                 return m, fg
             self._masks_fracs = _masks_fracs
 
+            # fused per-event component update: when every 'cheap'
+            # component is due at the same event time (the common case -
+            # they share dt cadences), ONE jitted dispatch computes
+            # climate/ocean/SMB/masks/BMB/LMB instead of ~6 host
+            # round-trips (each costs tens of ms through the remote
+            # dispatch tunnel). Gated to jit-pure component choices;
+            # laddie/inverted/file-driven models use the per-component
+            # path.
+            _pure_bmb = getattr(C, f"choice_BMB_model_{self.name}") in (
+                "uniform", "idealised", "parameterised")
+            _pure_smb = getattr(C, f"choice_SMB_model_{self.name}") in (
+                "uniform", "idealised")
+            self._can_fuse_components = _pure_bmb and _pure_smb \
+                and not C.do_bed_roughness_nudging
+
+            if self._can_fuse_components:
+                run_climate, run_ocean, run_smb = (self.run_climate,
+                                                   self.run_ocean,
+                                                   self.run_smb)
+                run_bmb, run_lmb = self.run_bmb, self.run_lmb
+                run_amb = self.run_amb
+
+                @jax.jit
+                def _components_all(md_, state, t):
+                    s = interpolate_ice_to_time(state, t)
+                    climate = run_climate(t, s)
+                    T_surf = climate["T2m"].mean(axis=1)
+                    ocean = run_ocean(t, s)
+                    SMB = run_smb(t, s, climate=climate)
+                    m = determine_masks(md_, s.Hi, s.Hb, s.SL)
+                    fg = calc_grounded_fractions_bilin_TAF(
+                        md_, s.Hi, s.Hb, s.SL, m["mask_floating_ice"])
+                    BMB = run_bmb(t, s, m, fg, ocean)
+                    LMB = run_lmb(t, s, m)
+                    AMB = run_amb(t, s)
+                    return climate, T_surf, ocean, SMB, BMB, LMB, AMB
+                self._components_all = _components_all
+
             self.climate = self.run_climate(self.time, self.state)
+            self._T_surf = self.climate["T2m"].mean(axis=1)
             self.ocean = self.run_ocean(self.time, self.state)
             self.SMB = self.run_smb(self.time, self.state,
                                     climate=self.climate)
@@ -182,7 +228,8 @@ class ModelRegion:
                 "LMB": t0,
                 "GIA": (t0 + C.dt_GIA) if C.choice_GIA_model != "none"
                        else _BIG,
-                "thermo": (t0 + C.dt_thermodynamics) if self.do_thermo
+                "thermo": (t0 + C.dt_thermodynamics)
+                if (self.do_thermo and not self._thermo_fused)
                           else _BIG,
                 "bed_roughness": (t0 + C.bed_roughness_nudging_dt)
                                  if C.do_bed_roughness_nudging else _BIG,
@@ -224,28 +271,32 @@ class ModelRegion:
                     md_, s.Hi, s.Hb, s.SL, m["mask_floating_ice"])
                 scal = calc_ice_scalars(md_, s.Hi, s.Hb, s.SL, fg,
                                         SMB, BMB, LMB)
-                return s, fg, scal
+                fields = {
+                    "Hi": s.Hi, "Hb": s.Hb, "Hs": s.Hs, "Hib": s.Hib,
+                    "SL": s.SL, "dHi_dt": s.dHi_dt,
+                    "u_vav_b": s.u_vav_b, "v_vav_b": s.v_vav_b,
+                    "uabs_vav_b": jnp.sqrt(s.u_vav_b ** 2 + s.v_vav_b ** 2),
+                    "divQ": s.divQ, "fraction_gr": fg,
+                    "Ti_base": s.Ti[:, -1]}
+                counters = (s.dt_ice, s.n_visc_its, s.n_Axb_its)
+                return fields, scal, counters
             self._output_calc = _output_calc
-        s, fg, scal = self._output_calc(self.md, self.state,
-                                        jnp.asarray(self.time),
-                                        self.SMB, self.BMB, self.LMB)
+        fields, scal, counters = self._output_calc(
+            self.md, self.state, jnp.asarray(self.time),
+            self.SMB, self.BMB, self.LMB)
+        # ONE host transfer for everything (per-field np.asarray costs a
+        # device round-trip each through the remote-dispatch tunnel)
+        fields, scal, counters = jax.device_get((fields, scal, counters))
         scal = dict(scal)
-        scal.update(dt_ice=float(s.dt_ice),
-                    n_visc_its=int(s.n_visc_its),
-                    n_Axb_its=int(s.n_Axb_its))
+        scal.update(dt_ice=float(counters[0]),
+                    n_visc_its=int(counters[1]),
+                    n_Axb_its=int(counters[2]))
         self.scalars_history.append({"time": self.time,
                                      **{k: float(v) for k, v in scal.items()}})
         if self.output_dir is not None:
             self._open_outputs()
             self.scalar_out.write(self.time, scal)
-            uabs = np.sqrt(np.asarray(s.u_vav_b) ** 2
-                           + np.asarray(s.v_vav_b) ** 2)
-            self.mesh_out.write(self.time, {
-                "Hi": s.Hi, "Hb": s.Hb, "Hs": s.Hs, "Hib": s.Hib,
-                "SL": s.SL, "dHi_dt": s.dHi_dt,
-                "u_vav_b": s.u_vav_b, "v_vav_b": s.v_vav_b,
-                "uabs_vav_b": uabs, "divQ": s.divQ,
-                "fraction_gr": fg, "Ti_base": s.Ti[:, -1]})
+            self.mesh_out.write(self.time, fields)
 
     # -- the main time loop -------------------------------------------------
 
@@ -274,15 +325,37 @@ class ModelRegion:
                 # run components whose t_next has arrived
                 self._run_components()
 
-                # ice dynamics: advance prediction window if due
+                # ice dynamics: advance prediction window if due.
+                # Fast-forward on-device until the next event boundary -
+                # one dispatch instead of one per ice step.
                 if float(self.state.t_Hi_next) <= self.time + 1e-9:
-                    self.state = self.pc_step(
-                        self.md, self.state,
-                        jnp.asarray(min(dt_max,
-                                        max(t_end - float(self.state.t_Hi_next),
-                                            C.dt_ice_min))),
-                        SMB=self.SMB, BMB=self.BMB, LMB=self.LMB)
-                    self.n_dt_ice += 1
+                    t_stop = min([t_end] + list(self.t_next.values()))
+                    if C.allow_mesh_updates:
+                        t_stop = min(t_stop, self.t_last_mesh_update
+                                     + C.dt_mesh_update_min)
+                    t_hi = float(self.state.t_Hi_next)
+                    if t_stop > t_hi + 1e-9:
+                        if self._thermo_fused:
+                            self.state, n, t_th = self.pc_multistep(
+                                self.md, self.state, jnp.asarray(t_stop),
+                                jnp.asarray(dt_max),
+                                self.SMB, self.BMB, self.LMB,
+                                self._T_surf,
+                                jnp.asarray(self.t_thermo_next))
+                            self.t_thermo_next = float(t_th)
+                        else:
+                            self.state, n = self.pc_multistep(
+                                self.md, self.state, jnp.asarray(t_stop),
+                                jnp.asarray(dt_max),
+                                self.SMB, self.BMB, self.LMB)
+                        self.n_dt_ice += int(n)
+                    else:
+                        self.state = self.pc_step(
+                            self.md, self.state,
+                            jnp.asarray(min(dt_max,
+                                            max(t_end - t_hi, C.dt_ice_min))),
+                            SMB=self.SMB, BMB=self.BMB, LMB=self.LMB)
+                        self.n_dt_ice += 1
 
                 # advance region time to next action
                 t_candidates = [float(self.state.t_Hi_next)]
@@ -292,8 +365,9 @@ class ModelRegion:
                     print(f"  t={self.time:12.2f} yr  "
                           f"dt={float(self.state.dt_ice):8.4f}  "
                           f"steps={self.n_dt_ice}")
-        self.state = interpolate_ice_to_time(self.state,
-                                             jnp.asarray(self.time))
+        if not hasattr(self, "_interp_j"):
+            self._interp_j = jax.jit(interpolate_ice_to_time)
+        self.state = self._interp_j(self.state, jnp.asarray(self.time))
         self.wallclock = _time.perf_counter() - t0_wall
         return self.state
 
@@ -301,17 +375,30 @@ class ModelRegion:
         C = self.C
         t = self.time
         eps = 1e-9
-        s = interpolate_ice_to_time(self.state, jnp.asarray(t))
+        if not hasattr(self, "_interp_j"):
+            self._interp_j = jax.jit(interpolate_ice_to_time)
+        s = self._interp_j(self.state, jnp.asarray(t))
         masks = fg = None
 
         def need(name):
             return self.t_next[name] <= t + eps
+
+        # fused fast path: all cheap components due together
+        fuse_names = ("climate", "ocean", "SMB", "BMB", "LMB")
+        if (getattr(self, "_can_fuse_components", False)
+                and all(need(nm) for nm in fuse_names)):
+            (self.climate, self._T_surf, self.ocean, self.SMB,
+             self.BMB, self.LMB, self.AMB) = self._components_all(
+                self.md, self.state, jnp.asarray(t))
+            for nm in fuse_names:
+                self.t_next[nm] = self.t_next[nm] + self.dt_comp[nm]
 
         def bump(name):
             self.t_next[name] = self.t_next[name] + self.dt_comp[name]
 
         if need("climate"):
             self.climate = self.run_climate(t, s)
+            self._T_surf = self.climate["T2m"].mean(axis=1)
             bump("climate")
         if need("ocean"):
             self.ocean = self.run_ocean(t, s)
@@ -332,9 +419,8 @@ class ModelRegion:
             self.state = self.state.replace(
                 dHb=dHb, Hb=self.state.Hb + (dHb - self.state.dHb))
             bump("GIA")
-        if need("thermo") and self.do_thermo:
-            T_surf = self.climate["T2m"].mean(axis=1)
-            Ti_new, _ = self._thermo_step(self.md, s, T_surf,
+        if need("thermo") and self.do_thermo and not self._thermo_fused:
+            Ti_new, _ = self._thermo_step(self.md, s, self._T_surf,
                                           self.SMB, self.BMB)
             self.state = self.state.replace(Ti=Ti_new)
             bump("thermo")
@@ -445,6 +531,7 @@ def _region_update_mesh(region):
     region.pc_step = make_pc_step(C, region.md,
                                   refgeo_Hi=region.refgeo_PD[0],
                                   refgeo_Hb=region.refgeo_PD[1])
+    from ..core.ice.pc import make_pc_multistep as _mkms
     from ..models.climate import make_run_climate
     from ..models.ocean import make_run_ocean
     from ..models.smb import make_run_smb
@@ -471,6 +558,9 @@ def _region_update_mesh(region):
         region._thermo_step = jax.jit(
             lambda md_, st, T_surf, SMB, BMB: run_thermodynamics(
                 C, md_, st, dt_th, T_surf, SMB, BMB, heat, geo))
+    region.pc_multistep = _mkms(
+        C, region.pc_step,
+        thermo_step=region._thermo_step if region._thermo_fused else None)
 
     # refresh component forcings + reset their clocks to now
     t = region.time
