@@ -88,3 +88,18 @@ def test_zeta_tridiag_operators():
     for k in range(1, 11):
         val = l1[k - 1] * f[k - 1] + d1[k] * f[k] + u1[k] * f[k + 1]
         assert abs(val - 3.0) < 1e-10
+
+
+def test_bicgstab_identity_exact_halfstep():
+    """A = I converges exactly at the BiCGSTAB half-step (s = 0); the
+    omega step must not manufacture inf/NaN (regression: guarded division
+    by 1e-300 poisoned x via inf-inf when tt == 0 under jit)."""
+    import jax.numpy as jnp
+    from ufemism2_tpu.ops.krylov import bicgstab
+    n = 73
+    b = jnp.full(n, 100.03, jnp.float64)
+    x0 = jnp.full(n, 100.0, jnp.float64)
+    res = bicgstab(lambda x: x, b, x0=x0, rtol=1e-8, abstol=1e-6)
+    assert bool(jnp.isfinite(res.x).all())
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(b), rtol=1e-12)

@@ -125,3 +125,33 @@ def test_thermo_pieces(md):
     pmp = np.asarray(calc_pressure_melting_point(md, jnp.full(md.nV, 3000.0)))
     assert pmp[:, 0].max() <= 273.16 + 1e-9
     assert (pmp[:, -1] < pmp[:, 0]).all()
+
+
+def test_hydrology_variants():
+    """All non-transient hydrology choices (basal_hydrology_main.f90)."""
+    from ufemism2_tpu.core.ice.hydrology import run_basal_hydrology
+    from ufemism2_tpu.utils.constants import ice_density, grav
+    Hi_eff = jnp.asarray([1000.0, 500.0, 0.0])
+    Hb = jnp.asarray([100.0, -300.0, -500.0])
+    SL = jnp.zeros(3)
+    m_gr = jnp.asarray([True, True, False])
+    P_o = ice_density * grav * np.asarray(Hi_eff)
+
+    for choice in ("none", "Martin2011", "Leguy2014",
+                   "error_function_Martin2011", "error_function_constant"):
+        C = Config(choice_basal_hydrology_model=choice)
+        pore, over, eff = run_basal_hydrology(C, Hi_eff, Hb, SL,
+                                              mask_grounded_ice=m_gr)
+        np.testing.assert_allclose(np.asarray(over), P_o)
+        assert (np.asarray(eff) >= 0).all()
+        assert (np.asarray(eff) <= P_o + 1e-6).all()
+
+    # Leguy2014: bed above sea level -> full overburden; deep bed -> reduced
+    C = Config(choice_basal_hydrology_model="Leguy2014")
+    _, _, eff = run_basal_hydrology(C, Hi_eff, Hb, SL, mask_grounded_ice=m_gr)
+    np.testing.assert_allclose(float(eff[0]), P_o[0])
+    assert float(eff[1]) < P_o[1]
+    # error_function_constant saturates at N_max
+    C = Config(choice_basal_hydrology_model="error_function_constant")
+    _, _, eff = run_basal_hydrology(C, Hi_eff, Hb, SL)
+    assert float(eff[0]) <= C.error_function_max_effective_pressure

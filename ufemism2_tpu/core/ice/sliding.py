@@ -72,7 +72,9 @@ def calc_basal_friction_coefficient(C, md: MeshData, bed_roughness,
                            _idealised_sliding(C, md, uabs, V_host)
                            ).astype(uabs.dtype)
 
-    _, _, N_eff = run_basal_hydrology(C, Hi_eff, Hb, SL)
+    _, _, N_eff = run_basal_hydrology(
+        C, Hi_eff, Hb, SL,
+        mask_grounded_ice=masks.get("mask_grounded_ice"))
 
     if choice == "Weertman":
         rough = apply_grounded_fractions_to_bed_roughness(

@@ -76,7 +76,11 @@ def run_model(config_path: str, output_dir: str | None = None):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="ufemism2_tpu", description=__doc__)
-    p.add_argument("config", help="path to a .cfg namelist, or 'unit_tests'")
+    p.add_argument("config", help="path to a .cfg namelist, 'unit_tests', or "
+                   "'laddie' (standalone LADDIE, config as second argument; "
+                   "LADDIE_program.f90 equivalent)")
+    p.add_argument("laddie_config", nargs="?", default=None,
+                   help="config path when the first argument is 'laddie'")
     p.add_argument("--output-dir", default=None)
     args = p.parse_args(argv)
 
@@ -84,6 +88,12 @@ def main(argv=None):
         import pytest
         sys.exit(pytest.main(["-x", "-q",
                               str(Path(__file__).parents[2] / "tests")]))
+    if args.config == "laddie":
+        from .laddie_program import run_laddie_standalone
+        if not args.laddie_config:
+            p.error("'laddie' requires a config path as the second argument")
+        run_laddie_standalone(args.laddie_config, args.output_dir)
+        return
     run_model(args.config, args.output_dir)
 
 

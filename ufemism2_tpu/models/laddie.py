@@ -66,6 +66,9 @@ def make_laddie_step(C, md: MeshData):
     step(state, lm, forcing) -> (state, diag) with melt in diag."""
     dt = C.dt_laddie            # [s]
     scheme = C.choice_laddie_integration_scheme or "fbrk3"
+    if scheme not in ("fbrk3", "euler", "lfra"):
+        raise ValueError(
+            f"unknown choice_laddie_integration_scheme '{scheme}'")
     alpha = C.uniform_laddie_eos_linear_alpha
     beta_eos = C.uniform_laddie_eos_linear_beta
     fcor = C.uniform_laddie_coriolis_parameter
@@ -361,7 +364,11 @@ def make_laddie_step(C, md: MeshData):
 
         return LaddieState(H=H_new, U=U_new, V=V_new, T=T_new, S=S_new), ph
 
-    def step(now: LaddieState, lm: LaddieMasks, forcing):
+    def step(carry, lm: LaddieMasks, forcing):
+        """One pseudo-time step.  `carry` = (now, nm1); euler/fbrk3 ignore
+        nm1, the leapfrog-Robert-Asselin scheme (laddie_integration.f90
+        integrate_lfra) uses both time levels."""
+        now, nm1 = carry
         if scheme in ("fbrk3", ""):
             b1, b2, b3 = (C.laddie_fbrk3_beta1, C.laddie_fbrk3_beta2,
                           C.laddie_fbrk3_beta3)
@@ -372,10 +379,21 @@ def make_laddie_step(C, md: MeshData):
             np1, ph = stage(np12, np12, lm, forcing, dt, True)
             np1 = np1._replace(H=b3 * np1.H + (1 - 2 * b3) * np12.H
                                + b3 * now.H)
-            return np1, ph
+            return (np1, np1), ph
+        if scheme == "lfra":
+            # leapfrog: tendencies at `now`, stepped from `nm1`
+            # (laddie_integration.f90:171-255), then the standard
+            # Robert-Asselin filter on the centre level with
+            # nu = C%laddie_lfra_nu before it becomes nm1.
+            np1, ph = stage(nm1, now, lm, forcing, dt, True)
+            nu = C.laddie_lfra_nu
+            filt = LaddieState(*(
+                c + 0.5 * nu * (p + f - 2.0 * c)
+                for c, p, f in zip(now, nm1, np1)))
+            return (np1, filt), ph
         # euler
         np1, ph = stage(now, now, lm, forcing, dt, True)
-        return np1, ph
+        return (np1, np1), ph
 
     return step
 
@@ -408,13 +426,13 @@ def run_laddie_leg(C, md: MeshData, state: LaddieState, lm: LaddieMasks,
     n_steps = max(1, int(duration_days * 86400.0 / C.dt_laddie))
 
     def body(i, carry):
-        st, _ = carry
-        st2, ph = step_fn(st, lm, forcing)
-        return (st2, ph["melt"])
+        (now, nm1), _ = carry
+        (now2, nm12), ph = step_fn((now, nm1), lm, forcing)
+        return ((now2, nm12), ph["melt"])
 
-    state, melt = jax.lax.fori_loop(
+    (state, _), melt = jax.lax.fori_loop(
         0, n_steps, body,
-        (state, jnp.zeros(md.nV, md.A.dtype)))
+        ((state, state), jnp.zeros(md.nV, md.A.dtype)))
     # melt is in m/s of ice; convert to m ice / yr
     return state, melt * sec_per_year
 

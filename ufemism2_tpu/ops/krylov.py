@@ -80,24 +80,34 @@ def bicgstab(A: Callable, b, x0=None, M: Callable = None,
         return (s.rnorm > tol) & (s.k < maxiter) & ~s.breakdown
 
     def body(s: S):
+        # guard denominators with 1.0 (NOT a tiny number): the while_loop
+        # always commits the body's state, so a guarded division must stay
+        # benign - x/1e-300 manufactures infs that poison x via inf-inf.
+        # Vanishing rho/omega is flagged as breakdown below instead.
         rho1 = _dot(rhat, s.r)
         denom_beta = s.rho * s.omega
-        beta = (rho1 / jnp.where(denom_beta == 0, 1e-300, denom_beta)) * \
-               (s.alpha / jnp.where(s.omega == 0, 1e-300, s.omega))
+        beta = (rho1 / jnp.where(denom_beta == 0, 1.0, denom_beta)) * \
+               (s.alpha / jnp.where(s.omega == 0, 1.0, s.omega))
         p = _axpy(beta, _sub(s.p, _scale(s.omega, s.v)), s.r)
         phat = M(p)
         v = A(phat)
         denom = _dot(rhat, v)
-        alpha = rho1 / jnp.where(denom == 0, 1e-300, denom)
+        alpha = rho1 / jnp.where(denom == 0, 1.0, denom)
         sres = _sub(s.r, _scale(alpha, v))
+        # early convergence at the half-step (||s|| small): take
+        # x += alpha p and stop - the omega step would be 0/0 garbage
+        snorm = jnp.sqrt(_dot(sres, sres))
+        s_small = snorm <= tol
         shat = M(sres)
         t = A(shat)
         tt = _dot(t, t)
-        omega = _dot(t, sres) / jnp.where(tt == 0, 1e-300, tt)
+        omega = _dot(t, sres) / jnp.where(tt == 0, 1.0, tt)
+        omega = jnp.where(s_small | (tt == 0), 0.0, omega)
         x = _add(s.x, _add(_scale(alpha, phat), _scale(omega, shat)))
         r = _sub(sres, _scale(omega, t))
         rnorm = jnp.sqrt(_dot(r, r))
-        breakdown = (jnp.abs(rho1) < 1e-300) | (jnp.abs(omega) < 1e-300) \
+        breakdown = (jnp.abs(rho1) < 1e-300) \
+            | (~s_small & (jnp.abs(omega) < 1e-300)) \
             | ~jnp.isfinite(rnorm)
         return S(x=x, r=r, p=p, v=v, rho=rho1, alpha=alpha, omega=omega,
                  k=s.k + 1, rnorm=rnorm, breakdown=breakdown)
