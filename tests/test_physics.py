@@ -155,3 +155,56 @@ def test_hydrology_variants():
     C = Config(choice_basal_hydrology_model="error_function_constant")
     _, _, eff = run_basal_hydrology(C, Hi_eff, Hb, SL)
     assert float(eff[0]) <= C.error_function_max_effective_pressure
+
+
+def test_bedrock_cdf_grounded_fractions(small_mesh):
+    """Bedrock-CDF sub-grid grounded fractions
+    (subgrid_grounded_fractions_bedrock_CDF.f90 + CDF construction)."""
+    import jax.numpy as jnp
+    from ufemism2_tpu.core.ice.bedrock_cdf import calc_bedrock_cdfs
+    from ufemism2_tpu.core.ice.subgrid import (
+        calc_grounded_fractions_bedrock_cdf, calc_grounded_fractions)
+
+    mesh = small_mesh
+    md = build_mesh_data(mesh)
+    # raw grid: bedrock dips from 0 at x=-50km to -1000 at x=+50km with
+    # +-100 m sub-grid noise
+    x = np.linspace(-50e3, 50e3, 200)
+    y = np.linspace(-50e3, 50e3, 200)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    rng = np.random.default_rng(42)
+    Hb_grid = -1000.0 * (X + 50e3) / 100e3 + rng.uniform(-100, 100, X.shape)
+    cdf_a, cdf_b = calc_bedrock_cdfs(mesh, x, y, Hb_grid, nbins=11)
+    assert cdf_a.shape == (mesh.nV, 11)
+    # CDFs are monotone non-decreasing
+    assert (np.diff(cdf_a, axis=1) >= -1e-9).all()
+    assert (np.diff(cdf_b, axis=1) >= -1e-9).all()
+
+    # thick ice everywhere -> fully grounded; no ice over deep bed -> afloat
+    Hi = jnp.full(mesh.nV, 3000.0)
+    SL = jnp.zeros(mesh.nV)
+    dHb = jnp.zeros(mesh.nV)
+    fr = calc_grounded_fractions_bedrock_cdf(Hi, SL, dHb, jnp.asarray(cdf_a))
+    np.testing.assert_allclose(np.asarray(fr), 1.0)
+    # 300 m ice: Hb_float = -275 m; bed is above that on the west
+    # (-200..0 m), below it on the east (-1000..-800 m)
+    Hi0 = jnp.full(mesh.nV, 300.0)
+    fr0 = np.asarray(calc_grounded_fractions_bedrock_cdf(
+        Hi0, SL, dHb, jnp.asarray(cdf_a)))
+    xv = mesh.V[:, 0]
+    assert (fr0[xv < -35e3] > 0.95).all()    # shallow side grounded
+    assert (fr0[xv > 35e3] < 0.05).all()     # deep side afloat
+    # partial fractions exist near the flotation line
+    assert ((fr0 > 0.05) & (fr0 < 0.95)).any()
+
+    # blended dispatcher runs and stays within [0, 1]
+    C = Config(choice_subgrid_grounded_fraction="bilin_interp_TAF+bedrock_CDF")
+    Hb_v = jnp.asarray(-1000.0 * (mesh.V[:, 0] + 50e3) / 100e3)
+    m_fl = jnp.asarray(np.asarray(Hi0) < -np.asarray(Hb_v) * 1.028)
+    mask_border_b = jnp.asarray((mesh.TriC < 0).any(axis=1))
+    fa, fb = calc_grounded_fractions(
+        C, md, Hi0, Hb_v, SL, m_fl, dHb=dHb,
+        bedrock_cdfs=(jnp.asarray(cdf_a), jnp.asarray(cdf_b), mask_border_b))
+    assert fa.shape == (mesh.nV,) and fb.shape == (mesh.nTri,)
+    assert (np.asarray(fa) >= 0).all() and (np.asarray(fa) <= 1).all()
+    assert (np.asarray(fb) >= 0).all() and (np.asarray(fb) <= 1).all()

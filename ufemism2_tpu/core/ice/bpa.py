@@ -51,7 +51,7 @@ class _BPACarry(NamedTuple):
     done: jnp.ndarray
 
 
-def make_solve_bpa(C, md: MeshData):
+def make_solve_bpa(C, md: MeshData, bedrock_cdfs=None):
     """Build solve(Hi, Hs, Hb, SL, Ti, s) for the BPA."""
     n_glen = C.Glens_flow_law_exponent
     no_sliding = C.choice_sliding_law == "no_sliding"
@@ -104,10 +104,10 @@ def make_solve_bpa(C, md: MeshData):
         A_flow = calc_ice_rheology_glen(C, md, Hi, Hs, Ti,
                                         masks["mask_grounded_ice"],
                                         masks["mask_floating_ice"])
-        fraction_gr = calc_grounded_fractions_bilin_TAF(
-            md, Hi, Hb, SL, masks["mask_floating_ice"])
-        fraction_gr_b = calc_grounded_fractions_b_from_a(md, md.Tri,
-                                                         fraction_gr)
+        from .subgrid import calc_grounded_fractions
+        fraction_gr, fraction_gr_b = calc_grounded_fractions(
+            C, md, Hi, Hb, SL, masks["mask_floating_ice"],
+            dHb=s.dHb, bedrock_cdfs=bedrock_cdfs)
         Hi_eff, _ = calc_effective_thickness(md, Hi, Hb, SL)
         Hs_slope = jnp.sqrt((md.M_ddx_a_a @ Hs) ** 2
                             + (md.M_ddy_a_a @ Hs) ** 2)

@@ -21,7 +21,8 @@ from .geometry import ice_surface_elevation, thickness_above_flotation
 from .masks import determine_masks, calc_mask_noice
 from .subgrid import (calc_effective_thickness,
                       calc_grounded_fractions_bilin_TAF,
-                      calc_grounded_fractions_b_from_a)
+                      calc_grounded_fractions_b_from_a,
+                      calc_grounded_fractions)
 from .rheology import calc_ice_rheology_glen
 from .mass import (calc_dHi_dt, calc_critical_timestep_adv,
                    make_bc_masks, make_divQ_operator)
@@ -48,7 +49,7 @@ class _PCCarry(NamedTuple):
     done: jnp.ndarray
 
 
-def make_solve_stress_balance(C, md: MeshData):
+def make_solve_stress_balance(C, md: MeshData, bedrock_cdfs=None):
     """Velocity solver dispatch (conservation_of_momentum_main.f90:37).
 
     Returns fn(md, Hi, Hs, Hb, SL, Ti, state) ->
@@ -75,17 +76,18 @@ def make_solve_stress_balance(C, md: MeshData):
 
     if choice in ("SSA", "DIVA", "SIA/SSA"):
         from .ssadiva import make_solve_ssa_diva
-        return make_solve_ssa_diva(C, md, choice)
+        return make_solve_ssa_diva(C, md, choice, bedrock_cdfs=bedrock_cdfs)
 
     if choice == "BPA":
         from .bpa import make_solve_bpa
-        return make_solve_bpa(C, md)
+        return make_solve_bpa(C, md, bedrock_cdfs=bedrock_cdfs)
 
     raise ValueError(
         f"stress balance '{choice}' not implemented yet")
 
 
-def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
+def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
+                 bedrock_cdfs=None):
     """Build the jitted PC step: (md, state, dt_max) -> state.
 
     refgeo_Hi/Hb: present-day reference geometry on the mesh (used by
@@ -99,7 +101,8 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
     growth = C.pc_max_time_step_increase
     nit_max = C.pc_nit_max
 
-    solve_stress_balance = make_solve_stress_balance(C, md)
+    solve_stress_balance = make_solve_stress_balance(
+        C, md, bedrock_cdfs=bedrock_cdfs)
     mask_noice = calc_mask_noice(md, C.choice_mask_noice)
     bc_masks = make_bc_masks(C, md)
 
@@ -142,8 +145,9 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
             s.u_vav_b, s.v_vav_b)
         dt = jnp.minimum(dt, dt_crit)
 
-        fraction_gr = calc_grounded_fractions_bilin_TAF(
-            md, Hi_prev, Hb, SL, masks_prev["mask_floating_ice"])
+        fraction_gr, fraction_gr_b = calc_grounded_fractions(
+            C, md, Hi_prev, Hb, SL, masks_prev["mask_floating_ice"],
+            dHb=s.dHb, bedrock_cdfs=bedrock_cdfs)
         Hi_eff, fraction_margin = calc_effective_thickness(md, Hi_prev, Hb, SL)
 
         # truncation-error mask: interior grounded, fully grounded, not GL
@@ -236,8 +240,7 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None):
             u_vav_b=out.u_vav_b, v_vav_b=out.v_vav_b,
             u_3D_b=out.u_3D_b, v_3D_b=out.v_3D_b,
             fraction_margin=fraction_margin, fraction_gr=fraction_gr,
-            fraction_gr_b=calc_grounded_fractions_b_from_a(md, md.Tri,
-                                                           fraction_gr),
+            fraction_gr_b=fraction_gr_b,
             Hi_eff=Hi_eff,
             mask_noice=mask_noice,
             pc=PCState(dt_n=dt_n, dt_np1=out.dt,

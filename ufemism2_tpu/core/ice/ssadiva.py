@@ -33,6 +33,7 @@ from .masks import determine_masks
 from .rheology import calc_ice_rheology_glen
 from .subgrid import (calc_grounded_fractions_bilin_TAF,
                       calc_grounded_fractions_b_from_a,
+                      calc_grounded_fractions,
                       calc_effective_thickness)
 from .sliding import calc_basal_friction_coefficient
 from . import sia as sia_mod
@@ -172,7 +173,7 @@ class _ViscCarry(NamedTuple):
     done: jnp.ndarray
 
 
-def make_solve_ssa_diva(C, md: MeshData, choice: str):
+def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
     """Build the stress-balance solve function for SSA / DIVA / SIA+SSA.
 
     Returned fn(Hi, Hs, Hb, SL, Ti, s) ->
@@ -279,10 +280,9 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str):
         A_flow = calc_ice_rheology_glen(C, md, Hi, Hs, Ti,
                                         masks["mask_grounded_ice"],
                                         masks["mask_floating_ice"])
-        fraction_gr = calc_grounded_fractions_bilin_TAF(
-            md, Hi, Hb, SL, masks["mask_floating_ice"])
-        fraction_gr_b = calc_grounded_fractions_b_from_a(md, md.Tri,
-                                                         fraction_gr)
+        fraction_gr, fraction_gr_b = calc_grounded_fractions(
+            C, md, Hi, Hb, SL, masks["mask_floating_ice"],
+            dHb=s.dHb, bedrock_cdfs=bedrock_cdfs)
         Hi_eff, _ = calc_effective_thickness(md, Hi, Hb, SL)
         Hs_slope = jnp.sqrt((md.M_ddx_a_a @ Hs) ** 2
                             + (md.M_ddy_a_a @ Hs) ** 2)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..mesh_data import MeshData
+from ...utils.constants import ice_density, seawater_density
 from .masks import is_floating
 from .geometry import thickness_above_flotation
 
@@ -67,3 +68,81 @@ def calc_grounded_fractions_bilin_TAF(md: MeshData, Hi, Hb, SL, mask_floating):
 def calc_grounded_fractions_b_from_a(md: MeshData, Tri, fraction_gr_a):
     """b-grid grounded fraction = mean over the triangle's vertices."""
     return fraction_gr_a[Tri].mean(axis=1)
+
+
+def calc_grounded_fractions_bedrock_cdf(Hi, SL, dHb, cdf):
+    """Grounded fraction from the sub-grid bedrock CDF quantiles
+    (subgrid_grounded_fractions_bedrock_CDF.f90:22-87, vectorised).
+
+    cdf: [n, nbins] bedrock-elevation quantiles per cell (host-built,
+    bedrock_cdf.py). Hb_float is the bedrock depth at which this column
+    goes afloat; the grounded fraction is 1 - CDF(Hb_float).
+    """
+    import jax
+    nbins = cdf.shape[1]
+    Hb_float = SL - Hi * ice_density / seawater_density - dHb
+    iu = jax.vmap(jnp.searchsorted)(cdf, Hb_float)
+    iu = jnp.clip(iu, 1, nbins - 1)
+    il = iu - 1
+    c_iu = jnp.take_along_axis(cdf, iu[:, None], axis=1)[:, 0]
+    c_il = jnp.take_along_axis(cdf, il[:, None], axis=1)[:, 0]
+    wl = jnp.clip((c_iu - Hb_float)
+                  / jnp.where(c_iu == c_il, 1.0, c_iu - c_il), 0.0, 1.0)
+    frac = 1.0 - (il * wl + iu * (1.0 - wl)) / (nbins - 1)
+    frac = jnp.where(Hb_float <= cdf[:, 0], 1.0,
+                     jnp.where(Hb_float >= cdf[:, -1], 0.0,
+                               jnp.clip(frac, 0.0, 1.0)))
+    return frac
+
+
+def calc_grounded_fractions(C, md: MeshData, Hi, Hb, SL, mask_floating,
+                            dHb=None, bedrock_cdfs=None):
+    """Dispatch on choice_subgrid_grounded_fraction
+    (subgrid_grounded_fractions_main.f90:34-100). Returns
+    (fraction_gr_a, fraction_gr_b). bedrock_cdfs = (cdf_a, cdf_b,
+    mask_border_b) from bedrock_cdf.build_bedrock_cdfs_from_config, or
+    None to force the bilinear-TAF path."""
+    choice = C.choice_subgrid_grounded_fraction
+    if bedrock_cdfs is None and "bedrock_CDF" in choice:
+        # no raw bedrock grid available (e.g. restarted without refgeo):
+        # fall back to the TAF interpolation
+        choice = "bilin_interp_TAF"
+    if dHb is None:
+        dHb = jnp.zeros_like(Hi)
+
+    need_taf = "bilin_interp_TAF" in choice
+    need_cdf = "bedrock_CDF" in choice
+
+    f_taf_a = f_taf_b = f_cdf_a = f_cdf_b = None
+    if need_taf:
+        f_taf_a = calc_grounded_fractions_bilin_TAF(md, Hi, Hb, SL,
+                                                    mask_floating)
+        f_taf_b = calc_grounded_fractions_b_from_a(md, md.Tri, f_taf_a)
+    if need_cdf:
+        cdf_a, cdf_b, mask_border_b = bedrock_cdfs
+        f_cdf_a = calc_grounded_fractions_bedrock_cdf(Hi, SL, dHb, cdf_a)
+        Hi_b = md.M_map_a_b @ Hi
+        SL_b = md.M_map_a_b @ SL
+        dHb_b = md.M_map_a_b @ dHb
+        f_cdf_b = calc_grounded_fractions_bedrock_cdf(Hi_b, SL_b, dHb_b,
+                                                      cdf_b)
+        # domain-border triangles: remapping there is unreliable - grounded
+        # iff any corner has TAF > 0 (bedrock_CDF.f90:123-137)
+        TAF = thickness_above_flotation(Hi, Hb, SL)
+        any_gr = (TAF[md.Tri] > 0.0).any(axis=1)
+        f_cdf_b = jnp.where(mask_border_b,
+                            jnp.where(any_gr, 1.0, 0.0), f_cdf_b)
+
+    if choice == "bilin_interp_TAF":
+        return f_taf_a, f_taf_b
+    if choice == "bedrock_CDF":
+        return f_cdf_a, f_cdf_b
+    if choice == "bilin_interp_TAF+bedrock_CDF":
+        # a-grid: smallest of the two; b-grid: TAF at the grounding line,
+        # CDF inland (subgrid_grounded_fractions_main.f90:63-99)
+        f_a = jnp.minimum(f_taf_a, f_cdf_a)
+        any_fl = mask_floating[md.Tri].any(axis=1)
+        f_b = jnp.where(any_fl, f_taf_b, f_cdf_b)
+        return f_a, f_b
+    raise ValueError(
+        f"unknown choice_subgrid_grounded_fraction '{choice}'")

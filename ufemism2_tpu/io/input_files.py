@@ -43,3 +43,22 @@ def bilinear_sample(x, y, F, points):
             + F[xi + 1, yi] * wx * (1 - wy)
             + F[xi, yi + 1] * (1 - wx) * wy
             + F[xi + 1, yi + 1] * wx * wy)
+
+
+def read_geometry_grid_raw(C, region_name, which="init"):
+    """Raw gridded geometry (x, y, {Hi, Hb, SL}) without remapping
+    (netcdf_input raw readers; used e.g. by the bedrock-CDF builder)."""
+    fname = getattr(C, f"filename_refgeo_{which}_{region_name}")
+    with NCFile(fname) as nc:
+        x = find_field(nc, "x")
+        y = find_field(nc, "y")
+        fields = {}
+        for name in ("Hi", "Hb", "SL"):
+            try:
+                F = find_field(nc, name)
+            except Exception:
+                continue
+            if F.shape == (len(y), len(x)):
+                F = F.T
+            fields[name] = F
+    return x, y, fields

@@ -133,8 +133,11 @@ class ModelRegion:
             if self.do_nudging:
                 self._nudge_step = make_run_bed_roughness_nudging(C, self.md)
 
+            self._bedrock_cdfs = _build_bedrock_cdfs(C, self.mesh,
+                                                     self.name, self.md)
             self.pc_step = make_pc_step(C, self.md, refgeo_Hi=Hi_PD,
-                                        refgeo_Hb=Hb_PD)
+                                        refgeo_Hb=Hb_PD,
+                                        bedrock_cdfs=self._bedrock_cdfs)
             self._thermo_fused = self.do_thermo
             self.pc_multistep = make_pc_multistep(
                 C, self.pc_step,
@@ -528,9 +531,12 @@ def _region_update_mesh(region):
     Hi_PD, Hb_PD = region.refgeo_PD
     M_pd = get_map(old_mesh, new_mesh, method="trilin")
     region.refgeo_PD = (M_pd @ Hi_PD, M_pd @ Hb_PD)
+    region._bedrock_cdfs = _build_bedrock_cdfs(C, region.mesh, region.name,
+                                               region.md)
     region.pc_step = make_pc_step(C, region.md,
                                   refgeo_Hi=region.refgeo_PD[0],
-                                  refgeo_Hb=region.refgeo_PD[1])
+                                  refgeo_Hb=region.refgeo_PD[1],
+                                  bedrock_cdfs=region._bedrock_cdfs)
     from ..core.ice.pc import make_pc_multistep as _mkms
     from ..models.climate import make_run_climate
     from ..models.ocean import make_run_ocean
@@ -583,3 +589,20 @@ def _region_update_mesh(region):
 
 ModelRegion.update_mesh = _region_update_mesh
 ModelRegion.calc_mesh_fitness = staticmethod(calc_mesh_fitness_coefficient)
+
+
+def _build_bedrock_cdfs(C, mesh, region_name, md):
+    """Host-side bedrock CDFs + border-triangle mask for the sub-grid
+    grounded-fraction scheme; None when the choice doesn't need them or
+    no raw bedrock grid exists (initialise_bedrock_CDFs)."""
+    if "bedrock_CDF" not in C.choice_subgrid_grounded_fraction:
+        return None
+    from ..core.ice.bedrock_cdf import build_bedrock_cdfs_from_config
+    pair = build_bedrock_cdfs_from_config(C, mesh, region_name)
+    if pair is None:
+        return None
+    cdf_a, cdf_b = pair
+    mask_border_b = (mesh.TriC < 0).any(axis=1)
+    dtype = md.A.dtype
+    return (jnp.asarray(cdf_a, dtype), jnp.asarray(cdf_b, dtype),
+            jnp.asarray(mask_border_b))
