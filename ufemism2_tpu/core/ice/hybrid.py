@@ -1,0 +1,576 @@
+"""Hybrid DIVA/BPA stress balance, matrix-free.
+
+TPU-native re-design of src/UFEMISM/ice_dynamics/conservation_of_momentum/
+hybrid_DIVA_BPA/hybrid_DIVA_BPA_main.f90: the reference assembles ONE
+merged CSR system whose unknowns are the vertically-averaged velocities
+(u,v)[nTri] on DIVA triangles and the 3-D velocities (u,v)[nTri,nz] on
+BPA triangles, with "transition" rows coupling the two at the interface
+(solve_hybrid_DIVA_BPA_linearised, :658-1000):
+
+  vav row, DIVA tri       : DIVA stiffness (M2 stencil on vav u,v)
+  vav row, BPA-halo tri   : -u_vav + SUM_k dzeta_k u3(k) = 0
+  3-D row, BPA tri        : BPA stiffness (3-D operator on u3,v3)
+  3-D row, DIVA-halo tri  : u3(k) - w_k u_vav = 0
+                            (w from the DIVA vertical structure,
+                             Lipscomb 2019 Eqs. 29/33)
+
+Here the same merged system is applied matrix-free on the pytree
+x = (u_vav, v_vav, u3, v3): dense masked selects instead of per-row CSR
+copies (the TPU equivalent of the reference's graph sub-domains), solved
+with preconditioned GMRES inside one viscosity iteration that evaluates
+BOTH solvers' coefficient fields each pass.
+
+Solver masks (calc_hybrid_solver_masks_basic, :392-437): 'ROI' (BPA
+inside named regions of interest) or 'read_from_file'; the transition
+masks are the stencil halos of each sub-domain
+(calc_hybrid_solver_masks_transition, :1215-1299), computed host-side by
+triangle-adjacency dilation since both operators' stencils are local.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh_data import MeshData
+from ...utils.constants import ice_density, grav
+from ...mesh.zeta import integrate_from_base_up, vertical_average
+from ...ops.krylov import gmres
+from .masks import determine_masks
+from .rheology import calc_ice_rheology_glen
+from .subgrid import calc_grounded_fractions, calc_effective_thickness
+from .sliding import calc_basal_friction_coefficient
+from .ssadiva import calc_TriBI, make_bc_data, _bed_roughness_fields
+
+
+class _HybridCarry(NamedTuple):
+    u: jnp.ndarray          # [nTri] vav
+    v: jnp.ndarray
+    u3: jnp.ndarray         # [nTri, nz]
+    v3: jnp.ndarray
+    u_base: jnp.ndarray     # [nTri] basal velocities (sliding law input)
+    v_base: jnp.ndarray
+    tau_bx: jnp.ndarray
+    tau_by: jnp.ndarray
+    eta_3D_b: jnp.ndarray
+    relax: jnp.ndarray
+    eps_sq0: jnp.ndarray
+    L2: jnp.ndarray
+    n_diverg: jnp.ndarray
+    it: jnp.ndarray
+    n_axb: jnp.ndarray
+    done: jnp.ndarray
+
+
+def resolve_hybrid_mask(C, mesh, region_name: str) -> np.ndarray:
+    """mask_BPA_b [nTri] from choice_hybrid_DIVA_BPA_mask_<region>."""
+    choice = getattr(C, f"choice_hybrid_DIVA_BPA_mask_{region_name}")
+    if choice == "read_from_file":
+        from ...io.ncio import NCFile, find_field
+        fname = getattr(C, f"filename_hybrid_DIVA_BPA_mask_{region_name}")
+        with NCFile(fname) as nc:
+            x = find_field(nc, "x")
+            y = find_field(nc, "y")
+            m = find_field(nc, "mask_BPA")
+        if m.shape == (len(y), len(x)):
+            m = m.T
+        cc = mesh.Tricc
+        xi = np.clip(np.searchsorted(x, cc[:, 0]), 0, len(x) - 1)
+        yi = np.clip(np.searchsorted(y, cc[:, 1]), 0, len(y) - 1)
+        return m[xi, yi] > 0.5
+    if choice == "ROI":
+        from ...mesh.roi_polygons import calc_roi_polygon
+        from matplotlib.path import Path as MplPath
+        mask = np.zeros(mesh.nTri, bool)
+        rois = [r for r in
+                getattr(C, f"choice_regions_of_interest").split(",") if r]
+        for roi in rois:
+            poly = calc_roi_polygon(roi.strip())
+            mask |= MplPath(poly).contains_points(mesh.Tricc)
+        return mask
+    raise ValueError(
+        f"unknown choice_hybrid_DIVA_BPA_mask '{choice}'")
+
+
+def _dilate(mask: np.ndarray, TriC: np.ndarray, n: int) -> np.ndarray:
+    """n-ring triangle-adjacency dilation (host-side)."""
+    out = mask.copy()
+    ok = TriC >= 0
+    for _ in range(n):
+        nbr = np.where(ok, out[np.maximum(TriC, 0)], False)
+        out = out | nbr.any(axis=1)
+    return out
+
+
+def make_solve_hybrid(C, md: MeshData, mask_BPA_b: np.ndarray,
+                      bedrock_cdfs=None):
+    """Build solve(md, Hi, Hs, Hb, SL, Ti, s) for the hybrid DIVA/BPA."""
+    n_glen = C.Glens_flow_law_exponent
+    no_sliding = C.choice_sliding_law == "no_sliding"
+    mesh = md._host_mesh
+    nz = md.nz
+    zeta = md.zeta
+    dzeta = float(np.asarray(mesh.zeta)[1] - np.asarray(mesh.zeta)[0])
+    dtype = md.A.dtype
+
+    # --- static masks (reference: recomputed only at init/remap) ---------
+    mask_BPA = np.asarray(mask_BPA_b, bool)
+    mask_DIVA = ~mask_BPA
+    # transition = each side's stencil halo into the other; the M2/LSQ
+    # stencils span <= 2 triangle rings, +1 ring of margin for the
+    # viscosity a<->b maps
+    halo_of_BPA = _dilate(mask_BPA, mesh.TriC, 3) & mask_DIVA
+    halo_of_DIVA = _dilate(mask_DIVA, mesh.TriC, 3) & mask_BPA
+    m_DIVA = jnp.asarray(mask_DIVA)              # vav rows: DIVA stiffness
+    m_vav_from_BPA = jnp.asarray(halo_of_DIVA)   # vav rows: vertical mean
+    m_BPA = jnp.asarray(mask_BPA)                # 3-D rows: BPA stiffness
+    m_3D_from_DIVA = jnp.asarray(halo_of_BPA)    # 3-D rows: DIVA structure
+
+    # --- shared BC machinery ---------------------------------------------
+    bc = make_bc_data(C, mesh)
+    bc_free = jnp.asarray(bc.free)
+    bc_inf_u, bc_inf_v = jnp.asarray(bc.inf_u), jnp.asarray(bc.inf_v)
+
+    # M2 operator diagonals for the DIVA-row block-Jacobi preconditioner
+    ops = mesh.operators
+    d_ddx = jnp.asarray(ops.M2_ddx_b_b.diagonal(), dtype)
+    d_ddy = jnp.asarray(ops.M2_ddy_b_b.diagonal(), dtype)
+    d_dxx = jnp.asarray(ops.M2_d2dx2_b_b.diagonal(), dtype)
+    d_dxy = jnp.asarray(ops.M2_d2dxdy_b_b.diagonal(), dtype)
+    d_dyy = jnp.asarray(ops.M2_d2dy2_b_b.diagonal(), dtype)
+
+    mask_TriC = mesh.TriC >= 0
+    TriC = jnp.asarray(np.where(mask_TriC, mesh.TriC, 0), jnp.int32)
+    mTriC = jnp.asarray(mask_TriC)
+    n_nbr = jnp.asarray(mask_TriC.sum(axis=1), dtype)
+
+    def nbr_mean_residual_2d(x):
+        s = jnp.where(mTriC, x[TriC], 0.0).sum(axis=1)
+        return s - n_nbr * x
+
+    def nbr_mean_residual_3d(x):
+        s = jnp.where(mTriC[:, :, None], x[TriC], 0.0).sum(axis=1)
+        return s - n_nbr[:, None] * x
+
+    # vertical-average weights (zeta_stag, matching the reference's dzeta
+    # weights in the transition rows)
+    zs = np.asarray(0.5 * (np.asarray(mesh.zeta)[1:]
+                           + np.asarray(mesh.zeta)[:-1]))
+    w_vav = np.empty(nz)
+    w_vav[0] = zs[0]
+    w_vav[-1] = 1.0 - zs[-1]
+    w_vav[1:-1] = zs[1:] - zs[:-1]
+    w_vav = jnp.asarray(w_vav, dtype)
+
+    def vav_of(f3):
+        return f3 @ w_vav
+
+    def _d2dzeta2(f):
+        out = jnp.zeros_like(f)
+        out = out.at[:, 1:-1].set(
+            (f[:, 2:] + f[:, :-2] - 2 * f[:, 1:-1]) / dzeta ** 2)
+        return out
+
+    def ddzeta(f):
+        out = jnp.empty_like(f)
+        out = out.at[:, 1:-1].set((f[:, 2:] - f[:, :-2]) / (2 * dzeta))
+        out = out.at[:, 0].set((f[:, 1] - f[:, 0]) / dzeta)
+        out = out.at[:, -1].set((f[:, -1] - f[:, -2]) / dzeta)
+        return out
+
+    def solve(md, Hi, Hs, Hb, SL, Ti, s):
+        masks = determine_masks(md, Hi, Hb, SL)
+        A_flow = calc_ice_rheology_glen(C, md, Hi, Hs, Ti,
+                                        masks["mask_grounded_ice"],
+                                        masks["mask_floating_ice"])
+        fraction_gr, fraction_gr_b = calc_grounded_fractions(
+            C, md, Hi, Hb, SL, masks["mask_floating_ice"],
+            dHb=s.dHb, bedrock_cdfs=bedrock_cdfs)
+        Hi_eff, _ = calc_effective_thickness(md, Hi, Hb, SL)
+        Hs_slope = jnp.sqrt((md.M_ddx_a_a @ Hs) ** 2
+                            + (md.M_ddy_a_a @ Hs) ** 2)
+        bed_roughness = _bed_roughness_fields(C, md, s.bed_roughness)
+        Hi_reg = jnp.maximum(0.1, Hi)
+
+        Hi_b = jnp.maximum(md.M_map_a_b @ Hi, 0.1)
+        dh_dx_b = md.M_ddx_a_b @ Hs
+        dh_dy_b = md.M_ddy_a_b @ Hs
+        db_dx_b = md.M_ddx_a_b @ (Hs - Hi)
+        db_dy_b = md.M_ddy_a_b @ (Hs - Hi)
+        tau_dx = -ice_density * grav * Hi_b * dh_dx_b    # DIVA rows
+        tau_dy = -ice_density * grav * Hi_b * dh_dy_b
+        tau_dx3 = -ice_density * grav * dh_dx_b          # BPA rows
+        tau_dy3 = -ice_density * grav * dh_dy_b
+
+        # zeta gradients (BPA)
+        dHi_dx_b = md.M_ddx_a_b @ Hi
+        dHi_dy_b = md.M_ddy_a_b @ Hi
+        zz_b = -1.0 / Hi_b
+        zx_b = (dh_dx_b[:, None] - zeta[None, :]
+                * dHi_dx_b[:, None]) / Hi_b[:, None]
+        zy_b = (dh_dy_b[:, None] - zeta[None, :]
+                * dHi_dy_b[:, None]) / Hi_b[:, None]
+
+        def ddx3(f):
+            return md.M2_ddx_b_b @ f + zx_b * ddzeta(f)
+
+        def ddy3(f):
+            return md.M2_ddy_b_b @ f + zy_b * ddzeta(f)
+
+        def ddz3(f):
+            return zz_b[:, None] * ddzeta(f)
+
+        Q_fac = 2.0 / dzeta ** 2 * zz_b ** 2
+
+        def body(c: _HybridCarry) -> _HybridCarry:
+            # == DIVA coefficients (from the vav field) =================
+            du_dx_a = md.M_ddx_b_a @ c.u
+            du_dy_a = md.M_ddy_b_a @ c.u
+            dv_dx_a = md.M_ddx_b_a @ c.v
+            dv_dy_a = md.M_ddy_b_a @ c.v
+            du_dz_b = (c.tau_bx[:, None] * zeta[None, :]
+                       / jnp.maximum(C.visc_eff_min, c.eta_3D_b))
+            dv_dz_b = (c.tau_by[:, None] * zeta[None, :]
+                       / jnp.maximum(C.visc_eff_min, c.eta_3D_b))
+            du_dz_a = md.M_map_b_a @ du_dz_b
+            dv_dz_a = md.M_map_b_a @ dv_dz_b
+
+            A_min = 1e-18
+            eta_max = 0.5 * A_min ** (-1.0 / n_glen) * \
+                c.eps_sq0 ** ((1.0 - n_glen) / (2.0 * n_glen))
+            eps_sq_D = (du_dx_a ** 2 + dv_dy_a ** 2 + du_dx_a * dv_dy_a
+                        + 0.25 * (du_dy_a + dv_dx_a) ** 2)[:, None] \
+                + 0.25 * (du_dz_a ** 2 + dv_dz_a ** 2) + c.eps_sq0
+            eta_3D_aD = jnp.clip(
+                0.5 * A_flow ** (-1.0 / n_glen)
+                * eps_sq_D ** ((1.0 - n_glen) / (2.0 * n_glen)),
+                C.visc_eff_min, eta_max)
+            eta_3D_bD = md.M_map_a_b @ eta_3D_aD
+            N_a = vertical_average(zeta, eta_3D_aD, axis=-1) * Hi_reg
+            N_b = md.M_map_a_b @ N_a
+            dN_dx_b = md.M_ddx_a_b @ N_a
+            dN_dy_b = md.M_ddy_a_b @ N_a
+
+            F1_3D_a = -Hi_reg[:, None] * integrate_from_base_up(
+                jnp.broadcast_to(zeta, eta_3D_aD.shape),
+                zeta[None, :] / eta_3D_aD, axis=-1)
+            F2_3D_a = -Hi_reg[:, None] * integrate_from_base_up(
+                jnp.broadcast_to(zeta, eta_3D_aD.shape),
+                zeta[None, :] ** 2 / eta_3D_aD, axis=-1)
+            F1_3D_b = md.M_map_a_b @ F1_3D_a
+            F2_a1 = F2_3D_a[:, 0]
+            F2_b1 = md.M_map_a_b @ F2_a1
+
+            # sliding coefficient from the basal velocities (DIVA: the
+            # u/(1+beta F2) estimate carried from the previous iteration;
+            # BPA: the bottom layer)
+            u_base_a = md.M_map_b_a @ jnp.where(m_BPA, c.u3[:, nz - 1],
+                                                c.u_base)
+            v_base_a = md.M_map_b_a @ jnp.where(m_BPA, c.v3[:, nz - 1],
+                                                c.v_base)
+            beta_b_a = calc_basal_friction_coefficient(
+                C, md, bed_roughness, u_base_a, v_base_a, Hi, Hi_eff, Hb,
+                SL, Hs_slope, fraction_gr, masks, V_host=mesh.V)
+            if no_sliding:
+                beta_eff_a = 1.0 / jnp.maximum(F2_a1, 1e-30)
+            else:
+                beta_eff_a = beta_b_a / (1.0 + beta_b_a * F2_a1)
+            beta_eff_b = md.M_map_a_b @ beta_eff_a
+            beta_b_b = md.M_map_a_b @ beta_b_a
+            if C.do_GL_subgrid_friction:
+                beta_eff_b = beta_eff_b * \
+                    fraction_gr_b ** C.subgrid_friction_exponent_on_B_grid
+                beta_sub_b = beta_b_b * \
+                    fraction_gr_b ** C.subgrid_friction_exponent_on_B_grid
+            else:
+                beta_sub_b = beta_b_b
+
+            # DIVA vertical structure weight for the transition rows:
+            # u3(k) = u_vav * (1 + beta_b F1(k)) / (1 + beta_b F2_base)
+            # (Lipscomb Eq. 29 with tau_b = beta_eff u_vav)
+            if no_sliding:
+                w_k = beta_eff_b[:, None] * F1_3D_b
+            else:
+                w_k = (1.0 + beta_b_b[:, None] * F1_3D_b) \
+                    / (1.0 + beta_b_b * F2_b1)[:, None]
+
+            # == BPA coefficients (from the 3-D field, DIVA-filled) =====
+            u3f = jnp.where(m_BPA[:, None], c.u3, w_k * c.u[:, None])
+            v3f = jnp.where(m_BPA[:, None], c.v3, w_k * c.v[:, None])
+            du3_dx = ddx3(u3f)
+            du3_dy = ddy3(u3f)
+            dv3_dx = ddx3(v3f)
+            dv3_dy = ddy3(v3f)
+            du3_dz = ddz3(u3f)
+            dv3_dz = ddz3(v3f)
+
+            def to_a(f):
+                return md.M_map_b_a @ f
+
+            eps_sq_B = (to_a(du3_dx) ** 2 + to_a(dv3_dy) ** 2
+                        + to_a(du3_dx) * to_a(dv3_dy)
+                        + 0.25 * (to_a(du3_dy) + to_a(dv3_dx)) ** 2
+                        + 0.25 * (to_a(du3_dz) ** 2 + to_a(dv3_dz) ** 2)
+                        + c.eps_sq0)
+            eta_aB = jnp.clip(
+                0.5 * A_flow ** (-1.0 / n_glen)
+                * eps_sq_B ** ((1.0 - n_glen) / (2.0 * n_glen)),
+                C.visc_eff_min, eta_max)
+            eta = md.M_map_a_b @ eta_aB
+            eta_x = ddx3(eta)
+            eta_y = ddy3(eta)
+            eta_z = ddz3(eta)
+            eta_base = jnp.maximum(eta[:, nz - 1], C.visc_eff_min)
+
+            # == merged operator =========================================
+            def A_op(x):
+                u, v, u3, v3 = x
+
+                # --- vav rows: DIVA stencil -----------------------------
+                if md.M2_stack is not None:
+                    du = md.M2_stack.apply(u)
+                    dv = md.M2_stack.apply(v)
+                    ddx_u, ddy_u, dxx_u, dxy_u, dyy_u = (du[0], du[1],
+                                                         du[2], du[3],
+                                                         du[4])
+                    ddx_v, ddy_v, dxx_v, dxy_v, dyy_v = (dv[0], dv[1],
+                                                         dv[2], dv[3],
+                                                         dv[4])
+                else:
+                    ddx_u, ddy_u = md.M2_ddx_b_b @ u, md.M2_ddy_b_b @ u
+                    dxx_u = md.M2_d2dx2_b_b @ u
+                    dxy_u = md.M2_d2dxdy_b_b @ u
+                    dyy_u = md.M2_d2dy2_b_b @ u
+                    ddx_v, ddy_v = md.M2_ddx_b_b @ v, md.M2_ddy_b_b @ v
+                    dxx_v = md.M2_d2dx2_b_b @ v
+                    dxy_v = md.M2_d2dxdy_b_b @ v
+                    dyy_v = md.M2_d2dy2_b_b @ v
+
+                Au = (4 * N_b * dxx_u + 4 * dN_dx_b * ddx_u
+                      + N_b * dyy_u + dN_dy_b * ddy_u - beta_eff_b * u
+                      + 3 * N_b * dxy_v + 2 * dN_dx_b * ddy_v
+                      + dN_dy_b * ddx_v)
+                Av = (4 * N_b * dyy_v + 4 * dN_dy_b * ddy_v
+                      + N_b * dxx_v + dN_dx_b * ddx_v - beta_eff_b * v
+                      + 3 * N_b * dxy_u + 2 * dN_dy_b * ddx_u
+                      + dN_dx_b * ddy_u)
+                # lateral BCs on vav rows
+                Au = jnp.where(bc_free, Au, jnp.where(
+                    bc_inf_u, nbr_mean_residual_2d(u), u))
+                Av = jnp.where(bc_free, Av, jnp.where(
+                    bc_inf_v, nbr_mean_residual_2d(v), v))
+                # transition: vav = vertical mean of u3; inactive: identity
+                Au = jnp.where(m_DIVA, Au,
+                               jnp.where(m_vav_from_BPA,
+                                         -u + vav_of(u3), u))
+                Av = jnp.where(m_DIVA, Av,
+                               jnp.where(m_vav_from_BPA,
+                                         -v + vav_of(v3), v))
+
+                # --- 3-D rows: BPA operator -----------------------------
+                ux, uy = ddx3(u3), ddy3(u3)
+                vx, vy = ddx3(v3), ddy3(v3)
+                uxx, uyy, uxy = ddx3(ux), ddy3(uy), ddy3(ux)
+                vxx, vyy, vxy = ddx3(vx), ddy3(vy), ddy3(vx)
+                uz, vz = ddz3(u3), ddz3(v3)
+                uzz = zz_b[:, None] ** 2 * _d2dzeta2(u3)
+                vzz = zz_b[:, None] ** 2 * _d2dzeta2(v3)
+
+                Bu = (4 * eta * uxx + 4 * eta_x * ux + eta * uyy
+                      + eta_y * uy + eta * uzz + eta_z * uz
+                      + 3 * eta * vxy + 2 * eta_x * vy + eta_y * vx)
+                Bv = (4 * eta * vyy + 4 * eta_y * vy + eta * vxx
+                      + eta_x * vx + eta * vzz + eta_z * vz
+                      + 3 * eta * uxy + 2 * eta_y * ux + eta_x * uy)
+
+                # surface row: ghost-point zero stress
+                S_u0 = (2 * dh_dx_b * (2 * ux[:, 0] + vy[:, 0])
+                        + dh_dy_b * (uy[:, 0] + vx[:, 0]))
+                S_v0 = (2 * dh_dy_b * (2 * vy[:, 0] + ux[:, 0])
+                        + dh_dx_b * (vx[:, 0] + uy[:, 0]))
+                uzz0 = Q_fac * (u3[:, 1] - u3[:, 0] - dzeta / zz_b * S_u0)
+                vzz0 = Q_fac * (v3[:, 1] - v3[:, 0] - dzeta / zz_b * S_v0)
+                Bu = Bu.at[:, 0].set(
+                    4 * eta[:, 0] * uxx[:, 0] + 4 * eta_x[:, 0] * ux[:, 0]
+                    + eta[:, 0] * uyy[:, 0] + eta_y[:, 0] * uy[:, 0]
+                    + eta[:, 0] * uzz0 + eta_z[:, 0] * S_u0
+                    + 3 * eta[:, 0] * vxy[:, 0]
+                    + 2 * eta_x[:, 0] * vy[:, 0] + eta_y[:, 0] * vx[:, 0])
+                Bv = Bv.at[:, 0].set(
+                    4 * eta[:, 0] * vyy[:, 0] + 4 * eta_y[:, 0] * vy[:, 0]
+                    + eta[:, 0] * vxx[:, 0] + eta_x[:, 0] * vx[:, 0]
+                    + eta[:, 0] * vzz0 + eta_z[:, 0] * S_v0
+                    + 3 * eta[:, 0] * uxy[:, 0]
+                    + 2 * eta_y[:, 0] * ux[:, 0] + eta_x[:, 0] * uy[:, 0])
+
+                # basal row: sliding (or no-slip)
+                kb = nz - 1
+                if no_sliding:
+                    Bu = Bu.at[:, kb].set(u3[:, kb])
+                    Bv = Bv.at[:, kb].set(v3[:, kb])
+                else:
+                    P_u = (2 * db_dx_b * (2 * ux[:, kb] + vy[:, kb])
+                           + db_dy_b * (uy[:, kb] + vx[:, kb])
+                           + beta_sub_b / eta_base * u3[:, kb])
+                    P_v = (2 * db_dy_b * (2 * vy[:, kb] + ux[:, kb])
+                           + db_dx_b * (vx[:, kb] + uy[:, kb])
+                           + beta_sub_b / eta_base * v3[:, kb])
+                    Qb = Q_fac * eta[:, kb]
+                    R = 2 * eta[:, kb] / dzeta * zz_b + eta_z[:, kb]
+                    Bu = Bu.at[:, kb].set(
+                        4 * eta[:, kb] * uxx[:, kb]
+                        + 4 * eta_x[:, kb] * ux[:, kb]
+                        + eta[:, kb] * uyy[:, kb]
+                        + eta_y[:, kb] * uy[:, kb]
+                        + 3 * eta[:, kb] * vxy[:, kb]
+                        + 2 * eta_x[:, kb] * vy[:, kb]
+                        + eta_y[:, kb] * vx[:, kb]
+                        + Qb * (u3[:, kb - 1] - u3[:, kb]) + R * P_u)
+                    Bv = Bv.at[:, kb].set(
+                        4 * eta[:, kb] * vyy[:, kb]
+                        + 4 * eta_y[:, kb] * vy[:, kb]
+                        + eta[:, kb] * vxx[:, kb]
+                        + eta_x[:, kb] * vx[:, kb]
+                        + 3 * eta[:, kb] * uxy[:, kb]
+                        + 2 * eta_y[:, kb] * ux[:, kb]
+                        + eta_x[:, kb] * uy[:, kb]
+                        + Qb * (v3[:, kb - 1] - v3[:, kb]) + R * P_v)
+
+                # lateral BCs on 3-D rows
+                Bu = jnp.where(bc_free[:, None], Bu, jnp.where(
+                    bc_inf_u[:, None], nbr_mean_residual_3d(u3), u3))
+                Bv = jnp.where(bc_free[:, None], Bv, jnp.where(
+                    bc_inf_v[:, None], nbr_mean_residual_3d(v3), v3))
+                # transition: u3 = w_k u_vav; inactive: identity
+                Bu = jnp.where(m_BPA[:, None], Bu,
+                               jnp.where(m_3D_from_DIVA[:, None],
+                                         u3 - w_k * u[:, None], u3))
+                Bv = jnp.where(m_BPA[:, None], Bv,
+                               jnp.where(m_3D_from_DIVA[:, None],
+                                         v3 - w_k * v[:, None], v3))
+                return (Au, Av, Bu, Bv)
+
+            # preconditioner: DIVA 2x2 block-Jacobi on vav rows, BPA
+            # vertical-diffusion diag on 3-D rows, identity elsewhere
+            auu = (4 * N_b * d_dxx + 4 * dN_dx_b * d_ddx
+                   + N_b * d_dyy + dN_dy_b * d_ddy - beta_eff_b)
+            auv = 3 * N_b * d_dxy + 2 * dN_dx_b * d_ddy + dN_dy_b * d_ddx
+            avu = 3 * N_b * d_dxy + 2 * dN_dy_b * d_ddx + dN_dx_b * d_ddy
+            avv = (4 * N_b * d_dyy + 4 * dN_dy_b * d_ddy
+                   + N_b * d_dxx + dN_dx_b * d_ddx - beta_eff_b)
+            diva_free = m_DIVA & bc_free
+            auu = jnp.where(diva_free, auu,
+                            jnp.where(m_DIVA & bc_inf_u, -n_nbr, 1.0))
+            avv = jnp.where(diva_free, avv,
+                            jnp.where(m_DIVA & bc_inf_v, -n_nbr, 1.0))
+            auv = jnp.where(diva_free, auv, 0.0)
+            avu = jnp.where(diva_free, avu, 0.0)
+            det = auu * avv - auv * avu
+            det = jnp.where(jnp.abs(det) < 1e-300, 1e-300, det)
+            diag_3D = -(eta * Q_fac[:, None]) \
+                - beta_sub_b[:, None] / Hi_b[:, None] - 1.0
+            diag_3D = jnp.where((m_BPA & bc_free)[:, None], diag_3D, 1.0)
+
+            def M_pre(r):
+                ru, rv, ru3, rv3 = r
+                return ((avv * ru - auv * rv) / det,
+                        (-avu * ru + auu * rv) / det,
+                        ru3 / diag_3D, rv3 / diag_3D)
+
+            b_u = jnp.where(m_DIVA & bc_free, -tau_dx, 0.0)
+            b_v = jnp.where(m_DIVA & bc_free, -tau_dy, 0.0)
+            b_u3 = jnp.where((m_BPA & bc_free)[:, None],
+                             jnp.broadcast_to(tau_dx3[:, None] * -1.0,
+                                              c.u3.shape), 0.0)
+            b_v3 = jnp.where((m_BPA & bc_free)[:, None],
+                             jnp.broadcast_to(tau_dy3[:, None] * -1.0,
+                                              c.v3.shape), 0.0)
+            if no_sliding:
+                b_u3 = b_u3.at[:, nz - 1].set(0.0)
+                b_v3 = b_v3.at[:, nz - 1].set(0.0)
+
+            rtol = C.stress_balance_PETSc_rtol
+            if dtype == jnp.float32:
+                rtol = max(rtol, 1e-5)
+            res = gmres(A_op, (b_u, b_v, b_u3, b_v3),
+                        x0=(c.u, c.v, c.u3, c.v3), M=M_pre, rtol=rtol,
+                        abstol=C.stress_balance_PETSc_abstol)
+            u_new, v_new, u3_new, v3_new = res.x
+
+            # limits + relaxation
+            def lim2(a, b):
+                sp = jnp.sqrt(a ** 2 + b ** 2)
+                f = jnp.where(sp > C.vel_max, C.vel_max / sp, 1.0)
+                return a * f, b * f
+            u_new, v_new = lim2(u_new, v_new)
+            u3_new, v3_new = lim2(u3_new, v3_new)
+            u_new = c.relax * u_new + (1 - c.relax) * c.u
+            v_new = c.relax * v_new + (1 - c.relax) * c.v
+            u3_new = c.relax * u3_new + (1 - c.relax) * c.u3
+            v3_new = c.relax * v3_new + (1 - c.relax) * c.v3
+
+            # basal velocities + stress for the DIVA shear closure
+            if no_sliding:
+                u_base = jnp.zeros_like(u_new)
+                v_base = jnp.zeros_like(v_new)
+            else:
+                u_base = u_new / (1.0 + beta_b_b * F2_b1)
+                v_base = v_new / (1.0 + beta_b_b * F2_b1)
+            tau_bx = u_new * beta_eff_b
+            tau_by = v_new * beta_eff_b
+
+            res1 = (((u_new - c.u) ** 2 + (v_new - c.v) ** 2)
+                    * m_DIVA).sum() \
+                + (((u3_new - c.u3) ** 2 + (v3_new - c.v3) ** 2)
+                   * m_BPA[:, None]).sum()
+            res2 = (((u_new + c.u) ** 2 + (v_new + c.v) ** 2)
+                    * m_DIVA).sum() \
+                + (((u3_new + c.u3) ** 2 + (v3_new + c.v3) ** 2)
+                   * m_BPA[:, None]).sum()
+            L2 = 2.0 * res1 / jnp.maximum(res2, 1e-8)
+            diverged = L2 > c.L2
+            n_div = jnp.where(diverged, c.n_diverg + 1, 0)
+            do_rescue = n_div > 2
+            relax = jnp.where(do_rescue, c.relax * 0.9, c.relax)
+            eps_sq0 = jnp.where(do_rescue, c.eps_sq0 * 1.2, c.eps_sq0)
+            n_div = jnp.where(do_rescue, 0, n_div)
+            converged = L2 < C.visc_it_norm_dUV_tol
+            return _HybridCarry(
+                u=u_new, v=v_new, u3=u3_new, v3=v3_new,
+                u_base=u_base, v_base=v_base,
+                tau_bx=tau_bx, tau_by=tau_by, eta_3D_b=eta_3D_bD,
+                relax=relax, eps_sq0=eps_sq0, L2=L2, n_diverg=n_div,
+                it=c.it + 1, n_axb=c.n_axb + res.n_iter, done=converged)
+
+        def cond(c: _HybridCarry):
+            return (~c.done) & (c.it <= C.visc_it_nit)
+
+        nTri = md.nTri
+        init = _HybridCarry(
+            u=s.u_vav_b, v=s.v_vav_b, u3=s.u_3D_b, v3=s.v_3D_b,
+            u_base=jnp.zeros(nTri, dtype), v_base=jnp.zeros(nTri, dtype),
+            tau_bx=jnp.zeros(nTri, dtype), tau_by=jnp.zeros(nTri, dtype),
+            eta_3D_b=jnp.full((nTri, nz), C.visc_eff_min, dtype),
+            relax=jnp.asarray(C.visc_it_relax, dtype),
+            eps_sq0=jnp.asarray(C.Glens_flow_law_epsilon_sq_0, dtype),
+            L2=jnp.asarray(1e9, dtype),
+            n_diverg=jnp.asarray(0, jnp.int32),
+            it=jnp.asarray(0, jnp.int32),
+            n_axb=jnp.asarray(0, jnp.int32),
+            done=jnp.asarray(False))
+        out = jax.lax.while_loop(cond, body, init)
+
+        # compose full fields: DIVA side gets its vertical structure,
+        # BPA side defines its own vertical average
+        u3 = jnp.where(m_BPA[:, None], out.u3,
+                       jnp.broadcast_to(out.u[:, None], out.u3.shape))
+        v3 = jnp.where(m_BPA[:, None], out.v3,
+                       jnp.broadcast_to(out.v[:, None], out.v3.shape))
+        u_vav = jnp.where(m_BPA, vav_of(out.u3), out.u)
+        v_vav = jnp.where(m_BPA, vav_of(out.v3), out.v)
+        return (u_vav, v_vav, u3, v3, out.it, out.n_axb)
+
+    return solve

@@ -82,6 +82,18 @@ def make_solve_stress_balance(C, md: MeshData, bedrock_cdfs=None):
         from .bpa import make_solve_bpa
         return make_solve_bpa(C, md, bedrock_cdfs=bedrock_cdfs)
 
+    if choice == "hybrid DIVA/BPA":
+        from .hybrid import make_solve_hybrid, resolve_hybrid_mask
+        # region inference: the mask choice keys are per-region; find the
+        # one that is set (UFEMISM passes region_name through the solver
+        # init; here the config carries it)
+        region = getattr(C, "_current_region", None) or next(
+            (r for r in ("ANT", "EAS", "GRL", "NAM")
+             if getattr(C, f"choice_hybrid_DIVA_BPA_mask_{r}")), "ANT")
+        mask_BPA_b = resolve_hybrid_mask(C, md._host_mesh, region)
+        return make_solve_hybrid(C, md, mask_BPA_b,
+                                 bedrock_cdfs=bedrock_cdfs)
+
     raise ValueError(
         f"stress balance '{choice}' not implemented yet")
 
