@@ -14,9 +14,11 @@ from ...utils.constants import ice_density, seawater_density, ocean_area
 from .geometry import thickness_above_flotation
 
 
-def calc_ice_scalars(md, Hi, Hb, SL, fraction_gr, SMB, BMB, LMB):
-    """Returns dict of integrated scalars."""
-    A = md.A
+def calc_ice_scalars(md, Hi, Hb, SL, fraction_gr, SMB, BMB, LMB,
+                     roi_mask=None):
+    """Returns dict of integrated scalars; roi_mask [nV] restricts the
+    reductions to a region of interest (ice_mass_and_fluxes_ROI.f90)."""
+    A = md.A if roi_mask is None else jnp.where(roi_mask, md.A, 0.0)
     has_ice = Hi > 0.1
     TAF = thickness_above_flotation(Hi, Hb, SL)
 

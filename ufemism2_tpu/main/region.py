@@ -262,6 +262,20 @@ class ModelRegion:
             out / f"main_output_{self.name}_00001.nc", self.mesh)
         self.scalar_out = ScalarOutputFile(
             out / f"scalar_output_{self.name}_00001.nc")
+        # per-ROI scalar files (scalar_output_files_ROI.f90)
+        self.roi_scalar_out = {}
+        self._roi_masks = {}
+        rois = [r.strip() for r in
+                self.C.choice_regions_of_interest.split(",") if r.strip()]
+        if rois:
+            from matplotlib.path import Path as MplPath
+            from ..mesh.roi_polygons import calc_roi_polygon
+            for roi in rois:
+                poly = calc_roi_polygon(roi)
+                m = MplPath(poly).contains_points(self.mesh.V)
+                self._roi_masks[roi] = jnp.asarray(m)
+                self.roi_scalar_out[roi] = ScalarOutputFile(
+                    out / f"scalar_output_{self.name}_{roi}_00001.nc")
         self._outputs_open = True
 
     def write_output(self):
@@ -300,6 +314,21 @@ class ModelRegion:
             self._open_outputs()
             self.scalar_out.write(self.time, scal)
             self.mesh_out.write(self.time, fields)
+            if self.roi_scalar_out:
+                if not hasattr(self, "_roi_scal_calc"):
+                    @jax.jit
+                    def _roi_scal_calc(md_, state, t, SMB, BMB, LMB, mask):
+                        s = interpolate_ice_to_time(state, t)
+                        return calc_ice_scalars(
+                            md_, s.Hi, s.Hb, s.SL, None, SMB, BMB, LMB,
+                            roi_mask=mask)
+                    self._roi_scal_calc = _roi_scal_calc
+                for roi, mask in self._roi_masks.items():
+                    rs = jax.device_get(self._roi_scal_calc(
+                        self.md, self.state, jnp.asarray(self.time),
+                        self.SMB, self.BMB, self.LMB, mask))
+                    self.roi_scalar_out[roi].write(
+                        self.time, {k: float(v) for k, v in rs.items()})
 
     # -- the main time loop -------------------------------------------------
 

@@ -86,6 +86,36 @@ def geometry_criteria_from_grid(C, x, y, Hi, Hb, SL=None):
     # coastline: land-sea boundary outside ice
     coast = np.where(~has_ice & (Hb >= SL), 1.0, -1.0)
     add_lines(coast, 0.0, C.maximum_resolution_coastline, C.coastline_width)
+
+    # regions of interest: tighter resolutions inside the named polygons
+    # (mesh_creation_refine_in_ROIs.f90 + mesh_refinement_basic_ROI.f90)
+    rois = [r.strip() for r in C.choice_regions_of_interest.split(",")
+            if r.strip()]
+    if rois:
+        from matplotlib.path import Path as MplPath
+        from .roi_polygons import calc_roi_polygon
+
+        def add_lines_roi(F, level, res, width, path):
+            for line in _contour_lines(x, y, F.astype(np.float64), level):
+                inside = path.contains_points(line)
+                if inside.any():
+                    # split into inside segments
+                    idx = np.flatnonzero(np.diff(
+                        np.r_[False, inside, False].astype(int)))
+                    for a, b in zip(idx[::2], idx[1::2]):
+                        if b - a >= 2:
+                            crits.append(LineCriterion(line[a:b], res,
+                                                       width))
+
+        for roi in rois:
+            poly = calc_roi_polygon(roi)
+            path = MplPath(poly)
+            crits.append(PolygonCriterion(poly,
+                                          C.ROI_maximum_resolution_uniform))
+            add_lines_roi(TAFm, 0.0, C.ROI_maximum_resolution_grounding_line,
+                          C.grounding_line_width, path)
+            add_lines_roi(cf, 0.0, C.ROI_maximum_resolution_calving_front,
+                          C.calving_front_width, path)
     return crits
 
 
