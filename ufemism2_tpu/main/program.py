@@ -56,6 +56,7 @@ def run_model(config_path: str, output_dir: str | None = None):
 
     # the coupling loop (UFEMISM_program.f90:99-129)
     t = C.start_time_of_run
+    Hs_cur = 1.0
     while t < C.end_time_of_run - 1e-9:
         t_next = min(t + C.dt_coupling, C.end_time_of_run)
         forcings.update(t)
@@ -63,6 +64,15 @@ def run_model(config_path: str, output_dir: str | None = None):
             happy("  Running region {} to t = {:.1f} yr ...", name, t_next)
             region.run_to(t_next)
         t = t_next
+
+        # MISMIP+ flow-factor tuning for the GL position
+        # (UFEMISM_program.f90:114-123)
+        if C.refgeo_idealised_MISMIPplus_tune_A and "ANT" in regions:
+            import numpy as np
+            Hs_prev = Hs_cur
+            Hs_cur = float(np.asarray(regions["ANT"].state.Hs).max())
+            if abs(1.0 - Hs_cur / Hs_prev) < 5.0e-3:
+                C = mismipplus_adapt_flow_factor(C, regions["ANT"])
 
     for name, region in regions.items():
         region.write_output()
@@ -72,6 +82,49 @@ def run_model(config_path: str, output_dir: str | None = None):
 
     print(get_tracker().report())
     return regions
+
+
+def mismipplus_adapt_flow_factor(C, region):
+    """Tune the uniform Glen flow factor so the steady-state mid-channel
+    grounding line sits at x = 450 km
+    (inversion_utilities.f90 MISMIPplus_adapt_flow_factor: 92-140)."""
+    import numpy as np
+    from scipy.interpolate import LinearNDInterpolator
+
+    if C.choice_ice_rheology_Glen != "uniform":
+        raise RuntimeError(
+            "MISMIP+ flow-factor tuning needs a uniform flow factor")
+    mesh = region.mesh
+    TAF = np.asarray(region.state.TAF)
+    interp = LinearNDInterpolator(mesh.V, TAF, fill_value=-1.0)
+    dx = C.maximum_resolution_grounding_line
+    xs = np.arange(mesh.xmin, mesh.xmax + dx / 2, dx)
+    taf_line = interp(np.column_stack([xs, np.zeros_like(xs)]))
+    sign_change = np.flatnonzero((taf_line[:-1] > 0) & (taf_line[1:] <= 0))
+    if len(sign_change) == 0:
+        return
+    i = sign_change[0]
+    lam = taf_line[i] / (taf_line[i] - taf_line[i + 1])
+    x_GL = (1 - lam) * xs[i] + lam * xs[i + 1]
+
+    f = 2.0 ** ((x_GL - 450e3) / 80000.0)
+    C = C.replace(
+        uniform_Glens_flow_factor=C.uniform_Glens_flow_factor * f)
+    region.C = C
+    happy("    MISMIPplus_adapt_flow_factor: x_GL = {:.1f} km; "
+          "flow factor -> {:.3e}", x_GL / 1e3, C.uniform_Glens_flow_factor)
+    # the flow factor is baked into the jitted step at trace time:
+    # rebuild the stepping machinery (rare event, amortised)
+    from ..core.ice.pc import make_pc_step, make_pc_multistep
+    region.pc_step = make_pc_step(
+        C, region.md, refgeo_Hi=region.refgeo_PD[0],
+        refgeo_Hb=region.refgeo_PD[1],
+        bedrock_cdfs=getattr(region, "_bedrock_cdfs", None))
+    region.pc_multistep = make_pc_multistep(
+        C, region.pc_step,
+        thermo_step=region._thermo_step
+        if getattr(region, "_thermo_fused", False) else None)
+    return C
 
 
 def main(argv=None):
