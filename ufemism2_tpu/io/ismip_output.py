@@ -55,21 +55,23 @@ class ISMIPOutput:
     def __init__(self, path, grid, title="UFEMISM2-TPU ISMIP output"):
         self.grid = grid
         self.nc = NCFile(path, "w")
-        self.nc.create_dim("x", grid.nx)
-        self.nc.create_dim("y", grid.ny)
-        self.nc.create_dim("time", None)
-        self.nc.create_var("x", ("x",), np.asarray(grid.x))
-        self.nc.create_var("y", ("y",), np.asarray(grid.y))
-        self.nc.create_var("time", ("time",), None, units="seconds")
+        self.nc.def_dim("x", grid.nx)
+        self.nc.def_dim("y", grid.ny)
+        self.nc.def_dim("time", None)
+        self.nc.def_var("x", ("x",))
+        self.nc.put("x", np.asarray(grid.x))
+        self.nc.def_var("y", ("y",))
+        self.nc.put("y", np.asarray(grid.y))
         for name, (std, units, _) in ISMIP_VARS.items():
-            self.nc.create_var(name, ("time", "y", "x"), None,
-                               standard_name=std, units=units)
-        self.nc.set_attrs(title=title, Conventions="CF-1.7")
+            self.nc.def_var(name, ("time", "y", "x"),
+                            standard_name=std, units=units)
+        self.nc.set_global_attrs(title=title, Conventions="CF-1.7")
         self._it = 0
 
     def write(self, t_yr: float, fields: dict):
         """fields: ISMIP name -> [ny, nx] array in model units (m, m/yr)."""
-        self.nc.append("time", float(t_yr) * sec_per_year, self._it)
+        t_s = float(t_yr) * sec_per_year
+        first = True
         for name, (_, _, conv) in ISMIP_VARS.items():
             if name not in fields:
                 continue
@@ -78,7 +80,8 @@ class ISMIPOutput:
                 F = F * ice_density / sec_per_year
             elif conv == "rate":     # m/yr -> m/s
                 F = F / sec_per_year
-            self.nc.append(name, F, self._it)
+            self.nc.append(name, F, coord=t_s if first else None)
+            first = False
         self._it += 1
 
     def close(self):
@@ -109,7 +112,9 @@ def ismip_fields_from_state(md, grid, map_m2g, s, masks, fg, SMB, BMB,
     tau_b = jnp.sqrt(s.u_vav_b ** 2 + s.v_vav_b ** 2)  # placeholder scale
 
     out = {
-        "lithk": g(s.Hi),
+        # the 2nd-order conservative map can overshoot at the ice margin;
+        # thickness and area fractions are clamped to their physical range
+        "lithk": np.maximum(0.0, g(s.Hi)),
         "orog": g(s.Hs),
         "base": g(s.Hib),
         "topg": g(s.Hb),
@@ -126,9 +131,10 @@ def ismip_fields_from_state(md, grid, map_m2g, s, masks, fg, SMB, BMB,
         "litemptop": g(jnp.where(has_ice, Ti_surf, 0.0)),
         "litempbotfl": g(jnp.where(fl, Ti_base, 0.0)),
         "litempbotgr": g(jnp.where(gr, Ti_base, 0.0)),
-        "sftgif": g(has_ice.astype(s.Hi.dtype)),
-        "sftgrf": g(fg),
-        "sftflf": g(jnp.where(fl, 1.0, 0.0).astype(s.Hi.dtype)),
+        "sftgif": np.clip(g(has_ice.astype(s.Hi.dtype)), 0.0, 1.0),
+        "sftgrf": np.clip(g(fg), 0.0, 1.0),
+        "sftflf": np.clip(g(jnp.where(fl, 1.0, 0.0).astype(s.Hi.dtype)),
+                          0.0, 1.0),
     }
     if geothermal is not None:
         out["hfgeoubed"] = g(geothermal / sec_per_year)  # J m-2 yr-1 -> W m-2

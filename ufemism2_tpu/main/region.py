@@ -276,6 +276,21 @@ class ModelRegion:
                 self._roi_masks[roi] = jnp.asarray(m)
                 self.roi_scalar_out[roi] = ScalarOutputFile(
                     out / f"scalar_output_{self.name}_{roi}_00001.nc")
+        # ISMIP-standard gridded output (ismip_grid_output_files.f90)
+        self.ismip_out = None
+        if self.C.do_create_ismip_output:
+            from ..io.ismip_output import ISMIPOutput
+            from ..mesh.grids import setup_square_grid
+            from ..remap.atlas import get_map
+            dx = getattr(self.C, f"dx_output_grid_{self.name}")
+            grid = setup_square_grid(self.mesh.xmin, self.mesh.xmax,
+                                     self.mesh.ymin, self.mesh.ymax, dx)
+            M = get_map(self.mesh, grid)
+            self._ismip_grid = grid
+            self._ismip_map = lambda f: (M @ np.asarray(f)).reshape(
+                grid.nx, grid.ny).T      # [ny, nx]
+            self.ismip_out = ISMIPOutput(
+                out / f"main_output_{self.name}_grid_ISMIP.nc", grid)
         self._outputs_open = True
 
     def write_output(self):
@@ -329,6 +344,15 @@ class ModelRegion:
                         self.SMB, self.BMB, self.LMB, mask))
                     self.roi_scalar_out[roi].write(
                         self.time, {k: float(v) for k, v in rs.items()})
+            if self.ismip_out is not None:
+                from ..io.ismip_output import ismip_fields_from_state
+                s_now = self._interp_j(self.state, jnp.asarray(self.time))
+                m_now, fg_now = self._masks_fracs(self.md, s_now.Hi,
+                                                  s_now.Hb, s_now.SL)
+                ifields = ismip_fields_from_state(
+                    self.md, self._ismip_grid, self._ismip_map, s_now,
+                    jax.device_get(m_now), fg_now, self.SMB, self.BMB)
+                self.ismip_out.write(self.time, ifields)
 
     # -- the main time loop -------------------------------------------------
 
