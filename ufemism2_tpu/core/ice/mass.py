@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ...parallel import comm
 from ..mesh_data import MeshData, map_b_to_c
 from .geometry import ice_surface_elevation, Hi_from_Hb_Hs_and_SL
 
@@ -26,13 +27,13 @@ def calc_divQ_upwind(md: MeshData, Hi, u_vav_b, v_vav_b, fraction_margin):
     u_c = map_b_to_c(md, u_vav_b)
     v_c = map_b_to_c(md, v_vav_b)
 
-    u_e = u_c[md.VE]                        # [nV, K]
-    v_e = v_c[md.VE]
+    u_e = md.ext_E(u_c)[md.VE]              # [nV, K]
+    v_e = md.ext_E(v_c)[md.VE]
     u_perp = u_e * md.D_x / md.D + v_e * md.D_y / md.D
 
     fm_i = fraction_margin[:, None]
-    fm_j = jnp.where(md.mask_C, fraction_margin[md.C], 0.0)
-    Hi_j = jnp.where(md.mask_C, Hi[md.C], 0.0)
+    fm_j = jnp.where(md.mask_C, md.ext_V(fraction_margin)[md.C], 0.0)
+    Hi_j = jnp.where(md.mask_C, md.ext_V(Hi)[md.C], 0.0)
 
     LcA = md.Cw / md.A[:, None]
     out_coeff = jnp.where((fm_i >= 1.0) & md.mask_C,
@@ -43,24 +44,24 @@ def calc_divQ_upwind(md: MeshData, Hi, u_vav_b, v_vav_b, fraction_margin):
 
 
 def make_bc_masks(C, md: MeshData):
-    """Static per-border BC masks, computed on host (config + VBI are
-    static). Returns (bc_zero, bc_inf) numpy bool arrays."""
-    import numpy as np
-    vbi = np.asarray(md.VBI)
-    borders = {
-        "north": (vbi == 1) | (vbi == 2), "east": (vbi == 3) | (vbi == 4),
-        "south": (vbi == 5) | (vbi == 6), "west": (vbi == 7) | (vbi == 8)}
-    bc_zero = np.zeros(md.nV, bool)
-    bc_inf = np.zeros(md.nV, bool)
+    """Per-border thickness-BC masks from the (runtime) border fields.
+    Returns (bc_zero, bc_inf, has_inf); has_inf is a trace-time bool so
+    the 'infinite' passes compile away when no side uses them."""
+    borders = {"north": md.border_N, "east": md.border_E,
+               "south": md.border_S, "west": md.border_W}
+    bc_zero = jnp.zeros_like(md.border_N)
+    bc_inf = jnp.zeros_like(md.border_N)
+    has_inf = False
     for side, border in borders.items():
         bc = getattr(C, f"BC_H_{side}")
         if bc == "zero":
-            bc_zero |= border
+            bc_zero = bc_zero | border
         elif bc == "infinite":
-            bc_inf |= border
+            bc_inf = bc_inf | border
+            has_inf = True
         else:
             raise ValueError(f"unknown BC_H '{bc}'")
-    return bc_zero, bc_inf
+    return bc_zero, bc_inf, has_inf
 
 
 def apply_ice_thickness_BC_explicit(C, md: MeshData, mask_noice, Hb, SL,
@@ -72,26 +73,26 @@ def apply_ice_thickness_BC_explicit(C, md: MeshData, mask_noice, Hb, SL,
     """
     if bc_masks is None:
         bc_masks = make_bc_masks(C, md)
-    bc_zero, bc_inf = bc_masks
+    bc_zero, bc_inf, has_inf = bc_masks
 
     Hi_out = jnp.where(bc_zero, 0.0, Hi_tplusdt)
-    if not bc_inf.any():
+    if not has_inf:
         return Hi_out
 
     Hs = ice_surface_elevation(Hi_out, Hb, SL)
     interior = (md.VBI == 0) & ~mask_noice
-    nbr_int = interior[md.C] & md.mask_C
+    nbr_int = md.ext_V(interior)[md.C] & md.mask_C
     n_int = nbr_int.sum(axis=1)
 
     # first pass: mean Hs over interior neighbours
-    Hs_nbr = jnp.where(nbr_int, Hs[md.C], 0.0)
+    Hs_nbr = jnp.where(nbr_int, md.ext_V(Hs)[md.C], 0.0)
     Hs_av1 = Hs_nbr.sum(1) / jnp.maximum(n_int, 1)
     pass1 = bc_inf & (n_int > 0)
     Hs1 = jnp.where(pass1, jnp.maximum(Hb, Hs_av1), Hs)
     Hi1 = jnp.where(pass1, Hi_from_Hb_Hs_and_SL(Hb, Hs1, SL), Hi_out)
 
     # second pass: border vertices with no interior neighbours use all nbrs
-    Hs_all = jnp.where(md.mask_C, Hs1[md.C], 0.0)
+    Hs_all = jnp.where(md.mask_C, md.ext_V(Hs1)[md.C], 0.0)
     nC = md.mask_C.sum(axis=1)
     Hs_av2 = Hs_all.sum(1) / jnp.maximum(nC, 1)
     pass2 = bc_inf & (n_int == 0)
@@ -126,15 +127,14 @@ def calc_critical_timestep_adv(C, md: MeshData, Hi, mask_floating,
     """Advective CFL timestep over edges (time_step_criteria.f90:80)."""
     u_c = map_b_to_c(md, u_vav_b)
     v_c = map_b_to_c(md, v_vav_b)
-    vi = md.EV[:, 0]
-    vj = md.EV[:, 1]
-    has_ice = (Hi[vi] > 0.0) & (Hi[vj] > 0.0)
+    Hi_e = md.ext_V(Hi)[md.EV]               # [nE,2]
+    has_ice = (Hi_e > 0.0).all(axis=1)
     if C.do_grounded_only_adv_dt:
-        has_ice = has_ice & ~(mask_floating[vi] | mask_floating[vj])
-    dist = jnp.linalg.norm(md.V[vi] - md.V[vj], axis=1)
-    dt = dist / jnp.maximum(0.1, jnp.abs(u_c) + jnp.abs(v_c)) * 0.9
+        fl_e = md.ext_V(mask_floating)[md.EV]
+        has_ice = has_ice & ~fl_e.any(axis=1)
+    dt = md.E_len / jnp.maximum(0.1, jnp.abs(u_c) + jnp.abs(v_c)) * 0.9
     dt = jnp.where(has_ice, dt, C.dt_ice_max)
-    return jnp.minimum(C.dt_ice_max, dt.min())
+    return jnp.minimum(C.dt_ice_max, comm.min_all(dt))
 
 
 def make_divQ_operator(md: MeshData, u_vav_b, v_vav_b, fraction_margin):
@@ -145,12 +145,12 @@ def make_divQ_operator(md: MeshData, u_vav_b, v_vav_b, fraction_margin):
     """
     u_c = map_b_to_c(md, u_vav_b)
     v_c = map_b_to_c(md, v_vav_b)
-    u_e = u_c[md.VE]
-    v_e = v_c[md.VE]
+    u_e = md.ext_E(u_c)[md.VE]
+    v_e = md.ext_E(v_c)[md.VE]
     u_perp = u_e * md.D_x / md.D + v_e * md.D_y / md.D
 
     fm_i = fraction_margin[:, None]
-    fm_j = jnp.where(md.mask_C, fraction_margin[md.C], 0.0)
+    fm_j = jnp.where(md.mask_C, md.ext_V(fraction_margin)[md.C], 0.0)
     LcA = md.Cw / md.A[:, None]
     out_coeff = jnp.where((fm_i >= 1.0) & md.mask_C,
                           LcA * jnp.maximum(0.0, u_perp), 0.0)
@@ -159,7 +159,7 @@ def make_divQ_operator(md: MeshData, u_vav_b, v_vav_b, fraction_margin):
     diag = out_coeff.sum(axis=1)
 
     def apply(H):
-        Hj = jnp.where(md.mask_C, H[md.C], 0.0)
+        Hj = jnp.where(md.mask_C, md.ext_V(H)[md.C], 0.0)
         return diag * H + (in_coeff * Hj).sum(axis=1)
 
     return apply, u_perp, diag

@@ -16,7 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..mesh_data import MeshData
+from ...parallel import comm
+from ..mesh_data import MeshData, EField
 from .geometry import ice_surface_elevation, thickness_above_flotation
 from .masks import determine_masks, calc_mask_noice
 from .subgrid import (calc_effective_thickness,
@@ -76,7 +77,7 @@ def make_solve_stress_balance(C, md: MeshData, bedrock_cdfs=None):
 
     if choice in ("SSA", "DIVA", "SIA/SSA"):
         from .ssadiva import make_solve_ssa_diva
-        return make_solve_ssa_diva(C, md, choice, bedrock_cdfs=bedrock_cdfs)
+        return make_solve_ssa_diva(C, md, choice)
 
     if choice == "BPA":
         from .bpa import make_solve_bpa
@@ -99,11 +100,14 @@ def make_solve_stress_balance(C, md: MeshData, bedrock_cdfs=None):
 
 
 def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
-                 bedrock_cdfs=None):
+                 bedrock_cdfs=None, jit=True):
     """Build the jitted PC step: (md, state, dt_max) -> state.
 
     refgeo_Hi/Hb: present-day reference geometry on the mesh (used by
     alter_ice_thickness fixiness/limitness; zeros disable those paths).
+    All per-entity static data rides md.extras, so the same step function
+    works inside a shard_map over the device mesh (jit=False returns the
+    raw function for such wrapping).
     """
     eps = C.pc_epsilon
     k_I, k_p = C.pc_k_I, C.pc_k_p
@@ -113,18 +117,20 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
     growth = C.pc_max_time_step_increase
     nit_max = C.pc_nit_max
 
-    solve_stress_balance = make_solve_stress_balance(
-        C, md, bedrock_cdfs=bedrock_cdfs)
-    mask_noice = calc_mask_noice(md, C.choice_mask_noice)
-    bc_masks = make_bc_masks(C, md)
+    # register static per-entity fields before building solvers (no-ops
+    # when already present, e.g. on a converted multi-chip MeshData)
+    from .subgrid import register_bedrock_cdfs
+    register_bedrock_cdfs(md, bedrock_cdfs)
+    if "refgeo_Hi" not in md.extras:
+        z = jnp.zeros(md.nV, md.A.dtype)
+        md.extras["refgeo_Hi"] = EField(
+            z if refgeo_Hi is None else jnp.asarray(refgeo_Hi, md.A.dtype),
+            "V")
+        md.extras["refgeo_Hb"] = EField(
+            z if refgeo_Hb is None else jnp.asarray(refgeo_Hb, md.A.dtype),
+            "V")
 
-    zerosSMB = jnp.zeros(md.nV, md.A.dtype)
-    if refgeo_Hi is None:
-        refgeo_Hi = zerosSMB
-    if refgeo_Hb is None:
-        refgeo_Hb = zerosSMB
-    refgeo_Hi = jnp.asarray(refgeo_Hi, md.A.dtype)
-    refgeo_Hb = jnp.asarray(refgeo_Hb, md.A.dtype)
+    solve_stress_balance = make_solve_stress_balance(C, md)
 
     def pc_step(md, s: IceState, dt_max,
                 SMB=None, BMB=None, LMB=None, AMB=None):
@@ -132,9 +138,15 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
         # instead of closing over it - keeps the multi-MB operator arrays
         # out of the XLA constant pool (faster compiles; the axon remote
         # backend crashes on very large inline constants).
+        zerosSMB = jnp.zeros_like(s.Hi)
         SMB = zerosSMB if SMB is None else SMB
         BMB = zerosSMB if BMB is None else BMB
         LMB = zerosSMB if LMB is None else LMB
+
+        mask_noice = calc_mask_noice(md, C.choice_mask_noice)
+        bc_masks = make_bc_masks(C, md)
+        refgeo_Hi = md.x("refgeo_Hi")
+        refgeo_Hb = md.x("refgeo_Hb")
 
         Hb, SL, Ti = s.Hb, s.SL, s.Ti
 
@@ -159,7 +171,7 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
 
         fraction_gr, fraction_gr_b = calc_grounded_fractions(
             C, md, Hi_prev, Hb, SL, masks_prev["mask_floating_ice"],
-            dHb=s.dHb, bedrock_cdfs=bedrock_cdfs)
+            dHb=s.dHb)
         Hi_eff, fraction_margin = calc_effective_thickness(md, Hi_prev, Hb, SL)
 
         # truncation-error mask: interior grounded, fully grounded, not GL
@@ -210,7 +222,8 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
             # == truncation error (Eq. 32) ==
             tau = ztf * jnp.abs(Hi_np1 - Hi_star) \
                 / ((3 * ztf + 3) * dt_n.astype(fdt))
-            eta = jnp.maximum(eta_min, jnp.where(tau_mask, tau, 0.0).max())
+            eta = jnp.maximum(eta_min,
+                              comm.max_all(jnp.where(tau_mask, tau, 0.0)))
 
             ok = eta < eps
             at_min = dt_i <= dt_min
@@ -264,7 +277,7 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
             **masks_prev,
         )
 
-    return jax.jit(pc_step)
+    return jax.jit(pc_step) if jit else pc_step
 
 
 def make_pc_multistep(C, pc_step, thermo_step=None):

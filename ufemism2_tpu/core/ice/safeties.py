@@ -138,7 +138,8 @@ def calc_and_apply_spill_over_flux(C, md: MeshData, masks, Hi_eff, u_perp,
     cm = jnp.argmin(u_perp_m, axis=1)
     vj_up = jnp.take_along_axis(md.C, cm[:, None], axis=1)[:, 0]
     u_min = jnp.take_along_axis(u_perp_m, cm[:, None], axis=1)[:, 0]
-    Hi_up_nbr = Hi_new[vj_up]
+    Hi_new_x = md.ext_V(Hi_new)
+    Hi_up_nbr = Hi_new_x[vj_up]
     Hi_ups = jnp.where((u_min < 0) & (Hi_up_nbr > 0), Hi_up_nbr, Hi_eff)
     Hi_ups = jnp.where(cf, Hi_ups, Hi_eff)
 
@@ -146,7 +147,7 @@ def calc_and_apply_spill_over_flux(C, md: MeshData, masks, Hi_eff, u_perp,
     Q_src = jnp.where(over, -(Hi_new - Hi_ups) * md.A / dt, 0.0)
 
     # weights toward neighbouring ocean cells
-    nbr_ocean = ocean[md.C] & md.mask_C
+    nbr_ocean = md.ext_V(ocean)[md.C] & md.mask_C
     weight = jnp.where(nbr_ocean, jnp.maximum(0.0, u_perp) + w_eps, 0.0)
     wsum = weight.sum(axis=1)
     no_ocean = wsum < w_eps
@@ -155,16 +156,13 @@ def calc_and_apply_spill_over_flux(C, md: MeshData, masks, Hi_eff, u_perp,
 
     # destination: scatter Q_src * relweight to the ocean neighbours.
     # Equivalent gather form: for each ocean cell vi, sum over neighbours
-    # vj of Q_src[vj] * relweight[vj, index of vi in C[vj]].
-    # Build reverse-connection index: rev[vi, c] = position of vi in
-    # C[C[vi,c]] -- use the fact that connections are symmetric.
+    # vj of Q_src[vj] * relweight[vj, index of vi in C[vj]]; the position
+    # table rev_pos is static connectivity precomputed at mesh build.
     vj = md.C                                        # [nV,K]
-    # find position of vi within C[vj]
-    eq = md.C[vj] == jnp.arange(md.nV)[:, None, None]  # [nV,K,K]
-    pos = jnp.argmax(eq, axis=2)                     # [nV,K]
-    rw_from_nbr = jnp.take_along_axis(relweight[vj], pos[:, :, None],
+    rw_from_nbr = jnp.take_along_axis(md.ext_V(relweight)[vj],
+                                      md.rev_pos[:, :, None],
                                       axis=2)[:, :, 0]
-    q_from_nbr = Q_src[vj]
+    q_from_nbr = md.ext_V(Q_src)[vj]
     contrib = jnp.where(md.mask_C & (q_from_nbr < -1e-2)
                         & (rw_from_nbr > 1e-6),
                         -q_from_nbr * rw_from_nbr, 0.0)

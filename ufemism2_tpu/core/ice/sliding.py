@@ -42,8 +42,8 @@ def apply_grounded_fractions_to_bed_roughness(C, masks, Hi, Hs_slope,
 def _extend_till_yield_to_neighbours(md: MeshData, masks, tau_y):
     """Ice-free land vertices next to grounded ice take the min neighbour
     till yield stress (extend_till_yield_stress_to_neighbours)."""
-    nbr_gr = masks["mask_grounded_ice"][md.C] & md.mask_C
-    tau_nbr = jnp.where(nbr_gr, tau_y[md.C], jnp.inf)
+    nbr_gr = md.ext_V(masks["mask_grounded_ice"])[md.C] & md.mask_C
+    tau_nbr = jnp.where(nbr_gr, md.ext_V(tau_y)[md.C], jnp.inf)
     min_nbr = tau_nbr.min(axis=1)
     use = masks["mask_icefree_land"] & jnp.isfinite(min_nbr)
     return jnp.where(use, min_nbr, tau_y)
@@ -65,6 +65,16 @@ def calc_basal_friction_coefficient(C, md: MeshData, bed_roughness,
         return jnp.minimum(C.slid_beta_max, beta)
 
     if choice == "idealised":
+        # the static analytic field (tau_y for SSA_icestream, beta
+        # otherwise) is registered in md.extras so it shards with the md
+        # pytree; V_host is the single-device fallback path.
+        if md.extras and "slid_ideal" in md.extras:
+            arr = md.x("slid_ideal").astype(uabs.dtype)
+            if C.choice_idealised_sliding_law == "SSA_icestream":
+                beta = arr / uabs
+            else:
+                beta = arr * jnp.ones_like(uabs)
+            return jnp.minimum(C.slid_beta_max, beta)
         # analytic fields are host-computed f64; cast to the run dtype.
         # V_host: host vertex coordinates (md.V may be a tracer when the
         # MeshData is a jit argument - solver factories pass mesh.V).
@@ -117,6 +127,35 @@ def calc_basal_friction_coefficient(C, md: MeshData, bed_roughness,
         raise ValueError(f"unknown choice_sliding_law '{choice}'")
 
     return jnp.minimum(C.slid_beta_max, beta)
+
+
+def register_sliding_static(C, mesh, md):
+    """Register the idealised-sliding static field into md.extras (host
+    side, before any multi-chip conversion)."""
+    from ..mesh_data import EField
+    if C.choice_sliding_law != "idealised" or "slid_ideal" in md.extras:
+        return
+    choice = C.choice_idealised_sliding_law
+    V = mesh.V
+    if choice == "SSA_icestream":
+        _, field = schoof_icestream(
+            C.uniform_Glens_flow_factor, C.Glens_flow_law_exponent,
+            C.refgeo_idealised_SSA_icestream_Hi,
+            C.refgeo_idealised_SSA_icestream_dhdx,
+            C.refgeo_idealised_SSA_icestream_L,
+            C.refgeo_idealised_SSA_icestream_m, V[:, 1])
+    elif choice == "ISMIP-HOM_C":
+        L = C.refgeo_idealised_ISMIP_HOM_L
+        field = 1000.0 + 1000.0 * np.sin(2 * np.pi * V[:, 0] / L) \
+            * np.sin(2 * np.pi * V[:, 1] / L)
+    elif choice == "ISMIP-HOM_D":
+        L = C.refgeo_idealised_ISMIP_HOM_L
+        field = 1000.0 + 1000.0 * np.sin(2 * np.pi * V[:, 0] / L)
+    elif choice == "ISMIP-HOM_F":
+        field = np.full(mesh.nV, (C.uniform_Glens_flow_factor * 1000.0) ** -1)
+    else:
+        raise ValueError(f"unknown choice_idealised_sliding_law '{choice}'")
+    md.extras["slid_ideal"] = EField(jnp.asarray(field, md.A.dtype), "V")
 
 
 def _idealised_sliding(C, md: MeshData, uabs, V_host=None):

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..mesh_data import MeshData
+from ..mesh_data import MeshData, EField, EIndex
+from ...parallel import comm
 from ...utils.constants import ice_density, grav
 from ...mesh.zeta import integrate_from_base_up, vertical_average
 from ...ops.krylov import bicgstab, gmres
@@ -173,54 +174,67 @@ class _ViscCarry(NamedTuple):
     done: jnp.ndarray
 
 
+def register_ssadiva_static(C, mesh, md: MeshData):
+    """Register the SSA/DIVA static per-triangle tables (BC row masks,
+    fixed-row copy tables, preconditioner diagonals) into md.extras so
+    they travel with the md pytree into (sharded) jitted steps."""
+    if "ssa_bc_free" in md.extras:
+        return
+    bc = make_bc_data(C, mesh)
+    dt = md.A.dtype
+    ef = lambda a: EField(jnp.asarray(a), "Tri")
+    md.extras.update({
+        "ssa_bc_free": ef(bc.free),
+        "ssa_bc_zero_u": ef(bc.zero_u), "ssa_bc_zero_v": ef(bc.zero_v),
+        "ssa_bc_inf_u": ef(bc.inf_u), "ssa_bc_inf_v": ef(bc.inf_v),
+        "ssa_bc_fix_u": ef(bc.fix_u), "ssa_bc_fix_v": ef(bc.fix_v),
+        "ssa_copy_inds": EIndex(jnp.asarray(bc.copy_inds, jnp.int32),
+                                "Tri", "Tri"),
+        "ssa_copy_w": EField(jnp.asarray(bc.copy_w, dt), "Tri"),
+    })
+    ops = mesh.operators
+    for name, M in [("ssa_d_ddx", ops.M2_ddx_b_b), ("ssa_d_ddy", ops.M2_ddy_b_b),
+                    ("ssa_d_dxx", ops.M2_d2dx2_b_b),
+                    ("ssa_d_dxy", ops.M2_d2dxdy_b_b),
+                    ("ssa_d_dyy", ops.M2_d2dy2_b_b)]:
+        md.extras[name] = EField(jnp.asarray(M.diagonal(), dt), "Tri")
+    md.ssa_has_fix = bool(bc.fix_u.any() or bc.fix_v.any())
+
+    from .sliding import register_sliding_static
+    register_sliding_static(C, mesh, md)
+
+
 def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
     """Build the stress-balance solve function for SSA / DIVA / SIA+SSA.
 
     Returned fn(Hi, Hs, Hb, SL, Ti, s) ->
       (u_vav_b, v_vav_b, u_3D_b, v_3D_b, n_visc_its, n_Axb_its).
+
+    All per-entity static data lives in md.extras (registered above), so
+    the returned solve() works both on the full mesh and as the body of a
+    shard_map over the device mesh (md then holds per-device local blocks
+    with halo tables).
     """
     is_diva = choice == "DIVA"
     with_sia = choice == "SIA/SSA"
     n_glen = C.Glens_flow_law_exponent
     no_sliding = C.choice_sliding_law == "no_sliding"
-    mesh = md._host_mesh  # set by build_mesh_data
-    bc = make_bc_data(C, mesh)
+    if "ssa_bc_free" not in md.extras:
+        register_ssadiva_static(C, md._host_mesh, md)
+    has_fix = md.ssa_has_fix
+    from .subgrid import register_bedrock_cdfs
+    register_bedrock_cdfs(md, bedrock_cdfs)
 
-    f = lambda a: jnp.asarray(a)
-    bc_free = f(bc.free)
-    bc_zero_u, bc_zero_v = f(bc.zero_u), f(bc.zero_v)
-    bc_inf_u, bc_inf_v = f(bc.inf_u), f(bc.inf_v)
-    bc_fix_u, bc_fix_v = f(bc.fix_u), f(bc.fix_v)
-    has_fix = bool(bc.fix_u.any() or bc.fix_v.any())
-    copy_inds = jnp.asarray(bc.copy_inds, jnp.int32)
-    copy_w = jnp.asarray(bc.copy_w, md.A.dtype)
-
-    # neighbour-mean helper for 'infinite' rows
-    mask_TriC = mesh.TriC >= 0
-    TriC = jnp.asarray(np.where(mask_TriC, mesh.TriC, 0), jnp.int32)
-    mTriC = jnp.asarray(mask_TriC)
-    n_nbr = jnp.asarray(mask_TriC.sum(axis=1), md.A.dtype)
-
-    # diagonals of the M2 operators (for the block-Jacobi preconditioner)
-    def _diag(M):
-        A = M  # scipy CSR on host
-        return jnp.asarray(A.diagonal(), md.A.dtype)
-    ops = mesh.operators
-    d_ddx = _diag(ops.M2_ddx_b_b)
-    d_ddy = _diag(ops.M2_ddy_b_b)
-    d_dxx = _diag(ops.M2_d2dx2_b_b)
-    d_dxy = _diag(ops.M2_d2dxdy_b_b)
-    d_dyy = _diag(ops.M2_d2dy2_b_b)
-
-    zeta = md.zeta
-    nz = md.nz
-
-    def nbr_mean_residual(x):
+    def nbr_mean_residual(md, x, n_nbr):
         """sum(x[nbrs]) - n*x (the 'infinite' BC row)."""
-        s = jnp.where(mTriC, x[TriC], 0.0).sum(axis=1)
+        s = jnp.where(md.mask_TriC, md.ext_Tri(x)[md.TriC], 0.0).sum(axis=1)
         return s - n_nbr * x
 
     def make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b):
+        bc_free = md.x("ssa_bc_free")
+        bc_inf_u = md.x("ssa_bc_inf_u")
+        bc_inf_v = md.x("ssa_bc_inf_v")
+        n_nbr = md.mask_TriC.sum(axis=1).astype(N_b.dtype)
         M2x, M2y = md.M2_ddx_b_b, md.M2_ddy_b_b
         Mxx, Mxy, Myy = md.M2_d2dx2_b_b, md.M2_d2dxdy_b_b, md.M2_d2dy2_b_b
 
@@ -244,14 +258,23 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
 
             # BC rows: zero/fixed -> identity; infinite -> neighbour mean
             Au = jnp.where(bc_free, Au, jnp.where(
-                bc_inf_u, nbr_mean_residual(u), u))
+                bc_inf_u, nbr_mean_residual(md, u, n_nbr), u))
             Av = jnp.where(bc_free, Av, jnp.where(
-                bc_inf_v, nbr_mean_residual(v), v))
+                bc_inf_v, nbr_mean_residual(md, v, n_nbr), v))
             return (Au, Av)
         return A
 
-    def make_precond(N_b, dN_dx_b, dN_dy_b, beta_eff_b):
+    def make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b):
         """2x2 block-Jacobi: invert the per-triangle (u,v) diagonal block."""
+        bc_free = md.x("ssa_bc_free")
+        bc_inf_u = md.x("ssa_bc_inf_u")
+        bc_inf_v = md.x("ssa_bc_inf_v")
+        n_nbr = md.mask_TriC.sum(axis=1).astype(N_b.dtype)
+        d_ddx = md.x("ssa_d_ddx")
+        d_ddy = md.x("ssa_d_ddy")
+        d_dxx = md.x("ssa_d_dxx")
+        d_dxy = md.x("ssa_d_dxy")
+        d_dyy = md.x("ssa_d_dyy")
         auu = (4 * N_b * d_dxx + 4 * dN_dx_b * d_ddx
                + N_b * d_dyy + dN_dy_b * d_ddy - beta_eff_b)
         auv = 3 * N_b * d_dxy + 2 * dN_dx_b * d_ddy + dN_dy_b * d_ddx
@@ -276,13 +299,17 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
         # md is the RUNTIME MeshData pytree (a jit argument,
         # not a closure constant): keeps the big operator
         # arrays out of the compiled graph's constant pool.
+        zeta = md.zeta
+        nz = md.nz
+        bc_free = md.x("ssa_bc_free")
+        bc_fix_u = md.x("ssa_bc_fix_u")
+        bc_fix_v = md.x("ssa_bc_fix_v")
         masks = determine_masks(md, Hi, Hb, SL)
         A_flow = calc_ice_rheology_glen(C, md, Hi, Hs, Ti,
                                         masks["mask_grounded_ice"],
                                         masks["mask_floating_ice"])
         fraction_gr, fraction_gr_b = calc_grounded_fractions(
-            C, md, Hi, Hb, SL, masks["mask_floating_ice"],
-            dHb=s.dHb, bedrock_cdfs=bedrock_cdfs)
+            C, md, Hi, Hb, SL, masks["mask_floating_ice"], dHb=s.dHb)
         Hi_eff, _ = calc_effective_thickness(md, Hi, Hb, SL)
         Hs_slope = jnp.sqrt((md.M_ddx_a_a @ Hs) ** 2
                             + (md.M_ddy_a_a @ Hs) ** 2)
@@ -293,6 +320,8 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
         tau_dy_b = -ice_density * grav * Hi_b * (md.M_ddy_a_b @ Hs)
 
         bed_roughness = _bed_roughness_fields(C, md, s.bed_roughness)
+        V_host = getattr(md, "_host_mesh", None)
+        V_host = V_host.V if V_host is not None else None
 
         Hi_reg = jnp.maximum(0.1, Hi)
 
@@ -353,7 +382,7 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
             v_base_a = md.M_map_b_a @ c.v_base
             beta_b_a = calc_basal_friction_coefficient(
                 C, md, bed_roughness, u_base_a, v_base_a, Hi, Hi_eff, Hb, SL,
-                Hs_slope, fraction_gr, masks, V_host=mesh.V)
+                Hs_slope, fraction_gr, masks, V_host=V_host)
 
             if is_diva:
                 if no_sliding:
@@ -370,14 +399,16 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
 
             # linear solve (matrix-free BiCGSTAB)
             A = make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b)
-            M = make_precond(N_b, dN_dx_b, dN_dy_b, beta_eff_b)
+            M = make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b)
             b_u = jnp.where(bc_free, -tau_dx_b, 0.0)
             b_v = jnp.where(bc_free, -tau_dy_b, 0.0)
             if has_fix:
                 # fixed rows: relaxed weighted copy of the previous solution
                 # (find_ti_copy_* BCs)
-                u_fix = (copy_w * c.u[copy_inds]).sum(axis=1)
-                v_fix = (copy_w * c.v[copy_inds]).sum(axis=1)
+                copy_inds = md.x("ssa_copy_inds")
+                copy_w = md.x("ssa_copy_w")
+                u_fix = (copy_w * md.ext_Tri(c.u)[copy_inds]).sum(axis=1)
+                v_fix = (copy_w * md.ext_Tri(c.v)[copy_inds]).sum(axis=1)
                 u_fix = C.visc_it_relax * u_fix + (1 - C.visc_it_relax) * c.u
                 v_fix = C.visc_it_relax * v_fix + (1 - C.visc_it_relax) * c.v
                 b_u = jnp.where(bc_fix_u, u_fix, b_u)
@@ -415,9 +446,10 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
                 tau_bx = u_new * beta_eff_b
                 tau_by = v_new * beta_eff_b
 
-            # convergence: L2 norm of change (calc_L2_norm_uv)
-            res1 = ((u_new - c.u) ** 2 + (v_new - c.v) ** 2).sum()
-            res2 = ((u_new + c.u) ** 2 + (v_new + c.v) ** 2).sum()
+            # convergence: L2 norm of change (calc_L2_norm_uv); global
+            # sums so all devices agree on the iteration control flow
+            res1 = comm.sum_all((u_new - c.u) ** 2 + (v_new - c.v) ** 2)
+            res2 = comm.sum_all((u_new + c.u) ** 2 + (v_new + c.v) ** 2)
             L2 = 2.0 * res1 / jnp.maximum(res2, 1e-8)
 
             diverged = L2 > c.L2

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..mesh_data import MeshData
+from ..mesh_data import MeshData, EField
 from ...utils.constants import ice_density, seawater_density
 from .masks import is_floating
 from .geometry import thickness_above_flotation
@@ -17,7 +17,8 @@ from .geometry import thickness_above_flotation
 
 def calc_effective_thickness(md: MeshData, Hi, Hb, SL):
     """Returns (Hi_eff, fraction_margin) (subgrid_ice_margin.f90:19)."""
-    nbr_Hi = jnp.where(md.mask_C, Hi[md.C], jnp.inf)  # inf so "== 0" is False
+    Hi_x = md.ext_V(Hi)
+    nbr_Hi = jnp.where(md.mask_C, Hi_x[md.C], jnp.inf)  # inf: "== 0" False
     m_margin = (Hi > 0.0) & ((nbr_Hi == 0.0).any(axis=1))
     m_float = is_floating(Hi, Hb, SL)
 
@@ -26,8 +27,8 @@ def calc_effective_thickness(md: MeshData, Hi, Hb, SL):
     Hi_eff = jnp.where(~m_float | (Hi > 0.0), Hi, 0.0)
 
     # max ice thickness among non-margin neighbours (floating margins only)
-    nbr_margin = m_margin[md.C] & md.mask_C
-    nbr_Hi_valid = jnp.where(md.mask_C & ~nbr_margin, Hi[md.C], 0.0)
+    nbr_margin = md.ext_V(m_margin)[md.C] & md.mask_C
+    nbr_Hi_valid = jnp.where(md.mask_C & ~nbr_margin, Hi_x[md.C], 0.0)
     Hi_nbr_max = jnp.where(m_float, nbr_Hi_valid.max(axis=1), 0.0)
 
     apply = m_margin & (Hi_nbr_max > Hi)
@@ -49,7 +50,7 @@ def calc_grounded_fractions_bilin_TAF(md: MeshData, Hi, Hb, SL, mask_floating):
     # Linear interpolation along each connection: fraction of the segment
     # with TAF>0, averaged over connections (lightweight approximation of
     # the bilinear sub-cell integral; exact on fully grounded/floating).
-    TAF_n = jnp.where(md.mask_C, TAF[md.C], 0.0)
+    TAF_n = jnp.where(md.mask_C, md.ext_V(TAF)[md.C], 0.0)
     Ti, Tj = TAF[:, None], TAF_n
     denom = jnp.where(jnp.abs(Ti - Tj) < 1e-30, 1e-30, Ti - Tj)
     lam = jnp.clip(Ti / denom, 0.0, 1.0)      # point where TAF crosses 0
@@ -67,7 +68,7 @@ def calc_grounded_fractions_bilin_TAF(md: MeshData, Hi, Hb, SL, mask_floating):
 
 def calc_grounded_fractions_b_from_a(md: MeshData, Tri, fraction_gr_a):
     """b-grid grounded fraction = mean over the triangle's vertices."""
-    return fraction_gr_a[Tri].mean(axis=1)
+    return md.ext_V(fraction_gr_a)[Tri].mean(axis=1)
 
 
 def calc_grounded_fractions_bedrock_cdf(Hi, SL, dHb, cdf):
@@ -95,14 +96,33 @@ def calc_grounded_fractions_bedrock_cdf(Hi, SL, dHb, cdf):
     return frac
 
 
+def register_bedrock_cdfs(md: MeshData, pair):
+    """Register bedrock-CDF quantile tables (cdf_a [nV,nb], cdf_b
+    [nTri,nb], mask_border_b [nTri]) into md.extras."""
+    if pair is None or "cdf_a" in md.extras:
+        return
+    cdf_a, cdf_b, mask_border_b = pair
+    md.extras["cdf_a"] = EField(cdf_a, "V")
+    md.extras["cdf_b"] = EField(cdf_b, "Tri")
+    md.extras["cdf_mask_border_b"] = EField(mask_border_b, "Tri")
+
+
+def get_bedrock_cdfs(md: MeshData):
+    if md.extras and "cdf_a" in md.extras:
+        return (md.x("cdf_a"), md.x("cdf_b"), md.x("cdf_mask_border_b"))
+    return None
+
+
 def calc_grounded_fractions(C, md: MeshData, Hi, Hb, SL, mask_floating,
                             dHb=None, bedrock_cdfs=None):
     """Dispatch on choice_subgrid_grounded_fraction
     (subgrid_grounded_fractions_main.f90:34-100). Returns
     (fraction_gr_a, fraction_gr_b). bedrock_cdfs = (cdf_a, cdf_b,
-    mask_border_b) from bedrock_cdf.build_bedrock_cdfs_from_config, or
-    None to force the bilinear-TAF path."""
+    mask_border_b); defaults to the tables registered in md.extras, or
+    the bilinear-TAF fallback when none exist."""
     choice = C.choice_subgrid_grounded_fraction
+    if bedrock_cdfs is None:
+        bedrock_cdfs = get_bedrock_cdfs(md)
     if bedrock_cdfs is None and "bedrock_CDF" in choice:
         # no raw bedrock grid available (e.g. restarted without refgeo):
         # fall back to the TAF interpolation
@@ -129,7 +149,7 @@ def calc_grounded_fractions(C, md: MeshData, Hi, Hb, SL, mask_floating,
         # domain-border triangles: remapping there is unreliable - grounded
         # iff any corner has TAF > 0 (bedrock_CDF.f90:123-137)
         TAF = thickness_above_flotation(Hi, Hb, SL)
-        any_gr = (TAF[md.Tri] > 0.0).any(axis=1)
+        any_gr = (md.ext_V(TAF)[md.Tri] > 0.0).any(axis=1)
         f_cdf_b = jnp.where(mask_border_b,
                             jnp.where(any_gr, 1.0, 0.0), f_cdf_b)
 
@@ -141,7 +161,7 @@ def calc_grounded_fractions(C, md: MeshData, Hi, Hb, SL, mask_floating,
         # a-grid: smallest of the two; b-grid: TAF at the grounding line,
         # CDF inland (subgrid_grounded_fractions_main.f90:63-99)
         f_a = jnp.minimum(f_taf_a, f_cdf_a)
-        any_fl = mask_floating[md.Tri].any(axis=1)
+        any_fl = md.ext_V(mask_floating)[md.Tri].any(axis=1)
         f_b = jnp.where(any_fl, f_taf_b, f_cdf_b)
         return f_a, f_b
     raise ValueError(

@@ -23,6 +23,42 @@ from ..ops.sparse import (EllMatrix, ell_from_csr, TiledEllMatrix,
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
+class EField:
+    """A static per-entity field registered in MeshData.extras.
+
+    `row` names the entity space ('V' | 'Tri' | 'E') so the multi-chip
+    builder (parallel/dist.py) knows how to pad and shard it."""
+    arr: Any
+    row: str
+
+    def tree_flatten(self):
+        return (self.arr,), (self.row,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class EIndex:
+    """A static index table in MeshData.extras: rows in entity space
+    `row`, values indexing entity space `col` (re-indexed to the
+    extended-local column space by the multi-chip builder)."""
+    arr: Any
+    row: str
+    col: str
+
+    def tree_flatten(self):
+        return (self.arr,), (self.row, self.col)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
 class MeshData:
     # geometry
     V: Any          # [nV,2]
@@ -77,6 +113,22 @@ class MeshData:
     # fused 2nd-order operator stack (f32/tiled mode only; None on f64)
     M2_stack: Any = None
 
+    # extra static connectivity (shared by solvers)
+    TriC: Any = None        # [nTri,3] int32 neighbour triangles (pad 0)
+    mask_TriC: Any = None   # [nTri,3] bool
+    E_len: Any = None       # [nE] edge lengths |V[vi]-V[vj]|
+    rev_pos: Any = None     # [nV,K] position of vi within C[C[vi,k]]
+
+    # registered static per-entity fields (EField/EIndex), keyed by name;
+    # solver factories register here so the arrays ride the md pytree into
+    # (sharded) jitted steps instead of being baked as closure constants
+    extras: Any = None
+
+    # multi-chip halo tables per entity space (None on a single device)
+    halo_V: Any = None
+    halo_Tri: Any = None
+    halo_E: Any = None
+
     def tree_flatten(self):
         fs = fields(self)
         return tuple(getattr(self, f.name) for f in fs), tuple(f.name for f in fs)
@@ -84,6 +136,34 @@ class MeshData:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(**dict(zip(aux, children)))
+
+    # -- distributed-mode hooks ---------------------------------------------
+    # On a single device these are identity; when halo tables are set (the
+    # md is a per-device local view inside shard_map) they extend the local
+    # block with halo values so gathers/SpMVs reading the re-indexed
+    # extended-local column space stay device-local.
+
+    def ext_V(self, x):
+        if self.halo_V is None:
+            return x
+        from ..parallel.comm import halo_extend
+        return halo_extend(x, self.halo_V)
+
+    def ext_Tri(self, x):
+        if self.halo_Tri is None:
+            return x
+        from ..parallel.comm import halo_extend
+        return halo_extend(x, self.halo_Tri)
+
+    def ext_E(self, x):
+        if self.halo_E is None:
+            return x
+        from ..parallel.comm import halo_extend
+        return halo_extend(x, self.halo_E)
+
+    def x(self, name):
+        """Registered extra field/table array by name."""
+        return self.extras[name].arr
 
     @property
     def nV(self):
@@ -123,6 +203,18 @@ def build_mesh_data(mesh, dtype=None) -> MeshData:
     VE = np.where(mesh.VE >= 0, mesh.VE, 0)
     mask_ETri = mesh.ETri >= 0
     ETri = np.where(mask_ETri, mesh.ETri, 0)
+    mask_TriC = mesh.TriC >= 0
+    TriC = np.where(mask_TriC, mesh.TriC, 0)
+    E_len = np.linalg.norm(mesh.V[mesh.EV[:, 0]] - mesh.V[mesh.EV[:, 1]],
+                           axis=1)
+    # reverse-connection positions: rev_pos[vi,k] = index of vi within
+    # C[C[vi,k]] (valid because mesh connections are symmetric); static
+    # connectivity, so computed once here instead of per step on device
+    CC = C[C].astype(np.int32)                    # [nV,K,K]
+    rev_pos = np.argmax(
+        CC == np.arange(mesh.nV, dtype=np.int32)[:, None, None],
+        axis=2).astype(np.int32)
+    del CC
 
     vbi = mesh.VBI
     # f32 (performance mode): tile-blocked operators - dense per-tile
@@ -161,6 +253,9 @@ def build_mesh_data(mesh, dtype=None) -> MeshData:
             [ops.M2_ddx_b_b, ops.M2_ddy_b_b, ops.M2_d2dx2_b_b,
              ops.M2_d2dxdy_b_b, ops.M2_d2dy2_b_b], dtype=dtype)
             if use_tiled else None),
+        TriC=i(TriC), mask_TriC=jnp.asarray(mask_TriC),
+        E_len=f(E_len), rev_pos=jnp.asarray(rev_pos),
+        extras={},
     )
     md._host_mesh = _host_mesh
     return md
@@ -170,7 +265,7 @@ def build_mesh_data(mesh, dtype=None) -> MeshData:
 
 def gather_neighbours(md: MeshData, x):
     """x[C] with padding masked to 0; x is [nV] or [nV, d]."""
-    g = x[md.C]
+    g = md.ext_V(x)[md.C]
     m = md.mask_C if g.ndim == 2 else md.mask_C[..., None]
     return jnp.where(m, g, 0)
 
@@ -181,7 +276,7 @@ def map_b_to_c(md: MeshData, u_b):
     Mean of the two adjacent triangles; one-sided at border edges
     (reference map_velocities_from_b_to_c_2D, map_velocities_to_c_grid.f90:44).
     """
-    vals = u_b[md.ETri]                       # [nE,2] or [nE,2,d]
+    vals = md.ext_Tri(u_b)[md.ETri]           # [nE,2] or [nE,2,d]
     m = md.mask_ETri
     if vals.ndim == 3:
         m = m[..., None]

@@ -19,13 +19,15 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+from ..parallel import comm
+
 MAXIT_DEFAULT = 2000  # petsc_basic.f90:166 KSPSetTolerances maxit
 
-
-def _dot(a, b):
-    leaves_a = jax.tree_util.tree_leaves(a)
-    leaves_b = jax.tree_util.tree_leaves(b)
-    return sum((x * y).sum() for x, y in zip(leaves_a, leaves_b))
+# all inner products / norms route through parallel.comm so the same
+# solvers run unchanged inside a shard_map'ed model step: there the
+# vectors are per-device blocks and the reductions pick up a psum over
+# the mesh axis (the reference's MPI_ALLREDUCE inside PETSc KSP).
+_dot = comm.dot
 
 
 def _axpy(alpha, x, y):
@@ -210,14 +212,14 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
     xf0 = flat(x0)
     n = bf.shape[0]
     m = min(restart, n)
-    b_norm = jnp.linalg.norm(Mf(bf))
+    b_norm = comm.norm(Mf(bf))
     tol = jnp.maximum(rtol * b_norm, abstol)
     dtype = bf.dtype
 
     def arnoldi_cycle(x):
         """One GMRES(m) cycle from x; returns (x_new, rnorm, matvecs)."""
         r = Mf(bf - Af(x))
-        beta = jnp.linalg.norm(r)
+        beta = comm.norm(r)
         Vm = jnp.zeros((m + 1, n), dtype)
         Vm = Vm.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
         H = jnp.zeros((m + 1, m), dtype)
@@ -230,12 +232,12 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
             Vm, H = carry
             w = Mf(Af(Vm[j]))
             mask = jnp.arange(m + 1) <= j
-            h1 = jnp.where(mask, Vm @ w, 0.0)
+            h1 = jnp.where(mask, comm.gsum(Vm @ w), 0.0)
             w = w - h1 @ Vm
-            h2 = jnp.where(mask, Vm @ w, 0.0)
+            h2 = jnp.where(mask, comm.gsum(Vm @ w), 0.0)
             w = w - h2 @ Vm
             H = H.at[:, j].add(h1 + h2)
-            hj1 = jnp.linalg.norm(w)
+            hj1 = comm.norm(w)
             H = H.at[j + 1, j].set(hj1)
             Vm = Vm.at[j + 1].set(w / jnp.where(hj1 < 1e-30, 1.0, hj1))
             return (Vm, H)
@@ -250,7 +252,7 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
         Rsafe = R + jnp.diag(jnp.where(jnp.abs(rd) < 1e-30, 1e-30, 0.0))
         y = jax.scipy.linalg.solve_triangular(Rsafe, Q.T @ e1, lower=False)
         x_new = x + y @ Vm[:m]
-        rnorm = jnp.linalg.norm(Mf(bf - Af(x_new)))
+        rnorm = comm.norm(Mf(bf - Af(x_new)))
         return x_new, rnorm
 
     class S(NamedTuple):
@@ -271,7 +273,7 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
         x_new, rnorm = arnoldi_cycle(s.x)
         return S(x=x_new, rnorm=rnorm, rprev=s.rnorm, k=s.k + m)
 
-    r0 = jnp.linalg.norm(Mf(bf - Af(xf0)))
+    r0 = comm.norm(Mf(bf - Af(xf0)))
     out = jax.lax.while_loop(cond, body,
                              S(x=xf0, rnorm=r0, rprev=jnp.inf,
                                k=jnp.asarray(0, jnp.int32)))
