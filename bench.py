@@ -1,59 +1,103 @@
 """Benchmark: ice-sheet model throughput on the current device.
 
-Runs in f32 performance mode (tile-blocked ELL operators; accuracy vs the
-analytic Halfar solution is reported in `extra` and matches the f64 parity
-mode to well under the discretisation error).
+Primary metric (the BASELINE.json north star): the MISMIP 8 km DIVA spinup
+(`/root/reference/config-files/config_MISMIP_8km_spinup_for_scaling.cfg`:
+MISMIP_mod geometry, DIVA stress balance, Zoet-Iverson sliding,
+bilin-TAF+bedrock-CDF sub-grid grounded fractions, semi-implicit mass
+conservation, 8 km grounding-line resolution) measured as
+simulated-years-per-wall-hour of the stepping loop, plus the DIVA
+ms-per-Krylov-iteration and the solver-effort counters the reference's
+scoreboard tracks (n_visc_its, n_Axb_its), and the grounding-line radius.
 
-Runs the Halfar-dome 40 km SIA evolution (the reference's
-it_ideal_Hlf_dome_Halfar_40km integrated test, 500 model years) end-to-end
-— mesh build, operator construction, jitted predictor-corrector stepping —
-and reports simulated-years-per-wall-hour of the stepping loop.
+Runs in f32 performance mode (tile-blocked ELL operators; f64 time
+bookkeeping). The secondary Halfar-dome 40 km SIA benchmark from round 1 is
+kept in `extra` for cross-round continuity.
 
-vs_baseline normalises by an estimated reference throughput for the same
-run: the reference CI performs it in 606 ice-dynamics steps (scoreboard
-it_ideal_Hlf_dome_Halfar_40km); at a measured ~50 ms/step for the 2-rank
-Fortran build that is ~30 s of stepping for 500 sim-years, i.e. ~6.0e4
-sim-yr/hr. (The reference publishes no wall-clock numbers; this anchor is
-held fixed across rounds so the trend is comparable.)
+vs_baseline: the reference publishes no wall-clock numbers for the scaling
+config. Anchor held fixed across rounds: a multicore Fortran/PETSc run of
+this 10 kyr spinup is estimated at ~1 wall-hour on a CI-class node, i.e.
+1.0e4 sim-yr/hr; vs_baseline = sim_yr_per_hr / 1.0e4, so the >=10x
+north-star target reads directly as vs_baseline >= 10.
 """
 
 import json
+import re
 import time
 
-REFERENCE_SIM_YR_PER_HR = 6.0e4
+MISMIP_REF_SIM_YR_PER_HR = 1.0e4   # documented estimate (see module docstring)
+HALFAR_REF_SIM_YR_PER_HR = 6.0e4   # round-1 anchor, held fixed
+
+MISMIP_CFG = ("/root/reference/config-files/"
+              "config_MISMIP_8km_spinup_for_scaling.cfg")
+HALFAR_CFG = ("/root/reference/automated_testing/integrated_tests/idealised/"
+              "Halfar_dome/config_Halfar_40km.cfg")
 
 
-def main():
-    import jax
+def find_x_GL(mesh, TAF, dx=2e3):
+    """Grounding-line position along the +x axis (y=0) from TAF sign change
+    (the reference's MISMIPplus_adapt_flow_factor GL finder)."""
+    import numpy as np
+    from scipy.interpolate import LinearNDInterpolator
+    interp = LinearNDInterpolator(mesh.V, np.asarray(TAF), fill_value=-1.0)
+    xs = np.arange(0.0, mesh.xmax + dx / 2, dx)
+    taf = interp(np.column_stack([xs, np.zeros_like(xs)]))
+    ix = np.flatnonzero((taf[:-1] > 0) & (taf[1:] <= 0))
+    if len(ix) == 0:
+        return float("nan")
+    i = ix[-1]
+    lam = taf[i] / (taf[i] - taf[i + 1])
+    return float((1 - lam) * xs[i] + lam * xs[i + 1])
+
+
+def bench_mismip():
+    import numpy as np
+    from ufemism2_tpu.config import load_config
+    from ufemism2_tpu.main.region import ModelRegion
+
+    C = load_config(MISMIP_CFG, tpu_precision="f32")
+
+    t_build0 = time.perf_counter()
+    region = ModelRegion(C, "ANT")
+    build_s = time.perf_counter() - t_build0
+
+    # warm up: compile + pass the startup transient
+    region.run_to(20.0)
+    n_axb0 = int(region.state.n_Axb_its)
+    n_visc0 = int(region.state.n_visc_its)
+    n_step0 = region.n_dt_ice
+
+    sim_window = 200.0
+    t0 = time.perf_counter()
+    state = region.run_to(20.0 + sim_window)
+    wall = time.perf_counter() - t0
+
+    n_axb = int(state.n_Axb_its) - n_axb0
+    n_visc = int(state.n_visc_its) - n_visc0
+    n_steps = region.n_dt_ice - n_step0
+    x_gl = find_x_GL(region.mesh, state.TAF)
+
+    return {
+        "sim_yr_per_hr": sim_window / wall * 3600.0,
+        "wall_s": wall,
+        "mesh_build_s": build_s,
+        "nV": region.mesh.nV,
+        "nTri": region.mesh.nTri,
+        "n_steps": n_steps,
+        "n_visc_its": n_visc,
+        "n_Axb_its": n_axb,
+        "ms_per_krylov_it": wall * 1e3 / max(n_axb, 1),
+        "x_GL_km": x_gl / 1e3,
+    }
+
+
+def bench_halfar():
     import numpy as np
     from ufemism2_tpu.config import load_config
     from ufemism2_tpu.main.region import ModelRegion
     from ufemism2_tpu.core.analytical import halfar_H
 
-    cfg = ("/root/reference/automated_testing/integrated_tests/idealised/"
-           "Halfar_dome/config_Halfar_40km.cfg")
-    try:
-        C = load_config(cfg, tpu_precision="f32")
-    except FileNotFoundError:
-        from ufemism2_tpu.config import Config
-        C = Config(
-            choice_refgeo_init_ANT="idealised",
-            choice_refgeo_init_idealised="Halfar",
-            dx_refgeo_init_idealised=1e4,
-            refgeo_idealised_Halfar_H0=3000.0,
-            refgeo_idealised_Halfar_R0=500e3,
-            uniform_Glens_flow_factor=1e-16,
-            choice_stress_balance_approximation="SIA",
-            choice_sliding_law="no_sliding",
-            xmin_ANT=-1000e3, xmax_ANT=1000e3,
-            ymin_ANT=-1000e3, ymax_ANT=1000e3,
-            maximum_resolution_uniform=800e3,
-            maximum_resolution_grounded_ice=400e3,
-            maximum_resolution_ice_front=40e3, ice_front_width=40e3,
-            end_time_of_run=500.0, tpu_precision="f32")
-
+    C = load_config(HALFAR_CFG, tpu_precision="f32")
     region = ModelRegion(C, "ANT")
-    # warm up the jit (one step), then time the rest of the run
     region.run_to(min(1.0, C.end_time_of_run))
     t0 = time.perf_counter()
     t_start = region.time
@@ -67,18 +111,36 @@ def main():
                    region.mesh.V[:, 0], region.mesh.V[:, 1],
                    C.end_time_of_run)
     rmse = float(np.sqrt(((Hi - Hex) ** 2).mean()))
+    return {
+        "sim_yr_per_hr": sim_years / wall * 3600.0,
+        "rmse_Hi_vs_analytic_m": round(rmse, 2),
+        "reference_rmse_m": 34.85,
+        "n_steps": region.n_dt_ice,
+        "reference_n_steps": 606,
+    }
 
-    sim_yr_per_hr = sim_years / wall * 3600.0
+
+def main():
+    import jax
+
+    mismip = bench_mismip()
+    halfar = bench_halfar()
+
+    v = mismip["sim_yr_per_hr"]
     print(json.dumps({
-        "metric": "halfar_40km_sim_years_per_wall_hour",
-        "value": round(sim_yr_per_hr, 1),
+        "metric": "mismip_8km_diva_sim_years_per_wall_hour",
+        "value": round(v, 1),
         "unit": "sim_yr/hr",
-        "vs_baseline": round(sim_yr_per_hr / REFERENCE_SIM_YR_PER_HR, 3),
+        "vs_baseline": round(v / MISMIP_REF_SIM_YR_PER_HR, 3),
         "extra": {
-            "rmse_Hi_vs_analytic_m": round(rmse, 2),
-            "reference_rmse_m": 34.85,
-            "n_steps": region.n_dt_ice,
-            "reference_n_steps": 606,
+            "mismip_8km": {k: (round(val, 3) if isinstance(val, float) else val)
+                           for k, val in mismip.items()},
+            "halfar_40km": {
+                **{k: (round(val, 1) if isinstance(val, float) else val)
+                   for k, val in halfar.items()},
+                "vs_round1_anchor": round(
+                    halfar["sim_yr_per_hr"] / HALFAR_REF_SIM_YR_PER_HR, 3),
+            },
             "device": str(jax.devices()[0]),
         },
     }))

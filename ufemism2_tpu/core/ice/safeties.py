@@ -65,11 +65,16 @@ def alter_ice_thickness(C, md: MeshData, masks, Hi_old, Hb, SL, Hi_new,
             (refgeo_Hi == 0.0) & (refgeo_Hb < C.continental_shelf_min_height),
             0.0, Hi_new)
 
-    # fixiness / limitness schedules
-    fixiness = _decay_factor(time, C.fixiness_t_start, C.fixiness_t_end,
-                             C.do_fixiness_before_start)
-    limitness = _decay_factor(time, C.limitness_t_start, C.limitness_t_end,
-                              C.do_limitness_before_start)
+    # fixiness / limitness schedules; model time is f64 by design, so cast
+    # the factors to the field dtype (an f64 factor would silently promote
+    # the whole thickness pipeline out of f32 performance mode)
+    fdt = Hi_new.dtype
+    fixiness = jnp.asarray(
+        _decay_factor(time, C.fixiness_t_start, C.fixiness_t_end,
+                      C.do_fixiness_before_start), fdt)
+    limitness = jnp.asarray(
+        _decay_factor(time, C.limitness_t_start, C.limitness_t_end,
+                      C.do_limitness_before_start), fdt)
 
     # modiness
     style = C.modiness_H_style

@@ -246,8 +246,18 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
 
         def A(uv):
             u, v = uv
-            ddx_u, ddy_u, dxx_u, dxy_u, dyy_u = derivs(u)
-            ddx_v, ddy_v, dxx_v, dxy_v, dyy_v = derivs(v)
+            if md.M2_stack is not None:
+                # ONE gather + ONE contraction for all 10 derivative
+                # fields: u and v ride the trailing axis of the stacked
+                # input (and share one halo exchange on multi-chip)
+                d = md.M2_stack.apply(jnp.stack([u, v], axis=-1))
+                ddx_u, ddy_u, dxx_u, dxy_u, dyy_u = (
+                    d[i][:, 0] for i in range(5))
+                ddx_v, ddy_v, dxx_v, dxy_v, dyy_v = (
+                    d[i][:, 1] for i in range(5))
+            else:
+                ddx_u, ddy_u, dxx_u, dxy_u, dyy_u = derivs(u)
+                ddx_v, ddy_v, dxx_v, dxy_v, dyy_v = derivs(v)
 
             Au = (4 * N_b * dxx_u + 4 * dN_dx_b * ddx_u
                   + N_b * dyy_u + dN_dy_b * ddy_u - beta_eff_b * u

@@ -49,13 +49,35 @@ class PolygonCriterion:
 
 @dataclass
 class LineCriterion:
-    """res applies to triangles within width/2 (or their size) of a polyline."""
+    """res applies to triangles within width/2 (or their size) of a polyline.
+
+    The polyline is static across refinement rounds, so it is sampled once
+    at spacing h and queried through a KD-tree; the h/2 sampling error is
+    subtracted from the query distance, making the criterion conservative
+    (never misses a triangle the exact segment distance would refine).
+    Replaces the O(n_tri x n_segments) exact distance that dominated mesh
+    creation."""
     line: np.ndarray   # [n,2] polyline vertices
     res: float
     width: float
 
+    def __post_init__(self):
+        h = max(min(self.res, self.width) / 4.0, 1e-2)
+        p0 = self.line[:-1]
+        seg = self.line[1:] - p0
+        L = np.linalg.norm(seg, axis=1)
+        reps = np.maximum(1, np.ceil(L / h).astype(int))
+        idx = np.repeat(np.arange(len(p0)), reps)
+        within = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps,
+                                                   reps)
+        t = within / reps[idx]
+        samples = np.concatenate(
+            [p0[idx] + t[:, None] * seg[idx], self.line[-1:]])
+        self._h = h
+        self._tree = cKDTree(samples)
+
     def target(self, pts: np.ndarray, circ_r: np.ndarray) -> np.ndarray:
-        d = dist_to_polyline(pts, self.line)
+        d = np.maximum(self._tree.query(pts)[0] - self._h / 2.0, 0.0)
         hit = d <= np.maximum(self.width / 2.0, circ_r)
         return np.where(hit, self.res, np.inf)
 

@@ -28,7 +28,9 @@ def make_run_smb(C, md, region_name: str):
     if choice == "idealised":
         sub = C.choice_SMB_model_idealised
         V = np.asarray(md.V)
-        if sub == "uniform":
+        if sub in ("uniform", ""):
+            # '' appears in reference configs (e.g. the MISMIP 8 km scaling
+            # config) whose SMB is just the uniform accumulation rate
             val = jnp.full(nV, C.uniform_SMB, dtype)
             return lambda time, s=None, climate=None: val
         if sub.startswith("EISMINT1_"):

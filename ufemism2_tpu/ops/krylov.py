@@ -216,44 +216,82 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
     tol = jnp.maximum(rtol * b_norm, abstol)
     dtype = bf.dtype
 
+    one = jnp.asarray(1.0, dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+
     def arnoldi_cycle(x):
-        """One GMRES(m) cycle from x; returns (x_new, rnorm, matvecs)."""
+        """One GMRES(m) cycle from x with TRUE early exit: the Hessenberg
+        column is rotated incrementally (Givens, tracked through an
+        accumulated [m+1,m+1] rotation product G so everything stays dense
+        matrix algebra), giving the least-squares residual |beta*G[j+1,0]|
+        for free after every matvec - the inner while_loop stops the
+        moment it drops under tol instead of burning the full restart
+        length (PETSc KSPGMRES does exactly this).
+        Returns (x_new, rnorm, matvecs)."""
         r = Mf(bf - Af(x))
         beta = comm.norm(r)
         Vm = jnp.zeros((m + 1, n), dtype)
-        Vm = Vm.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
-        H = jnp.zeros((m + 1, m), dtype)
+        Vm = Vm.at[0].set(r / jnp.where(beta == 0, one, beta))
+        R = jnp.zeros((m + 1, m), dtype)      # rotated Hessenberg
+        G = jnp.eye(m + 1, dtype=dtype)       # accumulated rotations
+        idx = jnp.arange(m + 1)
 
-        def arnoldi_step(j, carry):
+        class A_(NamedTuple):
+            Vm: jnp.ndarray
+            R: jnp.ndarray
+            G: jnp.ndarray
+            j: jnp.ndarray
+            res: jnp.ndarray
+
+        def a_cond(c: A_):
+            return (c.j < m) & (c.res > tol)
+
+        def a_body(c: A_):
+            Vm, R, G, j = c.Vm, c.R, c.G, c.j
             # CGS2 (classical Gram-Schmidt, re-orthogonalised): two dense
             # [m+1,n]@[n] products instead of a sequential inner loop -
-            # numerically equivalent to MGS in practice and maps onto the
-            # MXU.
-            Vm, H = carry
+            # numerically equivalent to MGS in practice, maps onto the MXU
             w = Mf(Af(Vm[j]))
-            mask = jnp.arange(m + 1) <= j
+            mask = idx <= j
             h1 = jnp.where(mask, comm.gsum(Vm @ w), 0.0)
             w = w - h1 @ Vm
             h2 = jnp.where(mask, comm.gsum(Vm @ w), 0.0)
             w = w - h2 @ Vm
-            H = H.at[:, j].add(h1 + h2)
             hj1 = comm.norm(w)
-            H = H.at[j + 1, j].set(hj1)
-            Vm = Vm.at[j + 1].set(w / jnp.where(hj1 < 1e-30, 1.0, hj1))
-            return (Vm, H)
+            Vm = Vm.at[j + 1].set(w / jnp.where(hj1 < tiny, one, hj1))
+            h = (h1 + h2).at[j + 1].set(hj1)     # new Hessenberg column
+            hr = G @ h                            # prior rotations applied
+            # new Givens rotation zeroing hr[j+1] against hr[j]
+            a, bb = hr[j], hr[j + 1]
+            rho = jnp.sqrt(a * a + bb * bb)
+            c_, s_ = (jnp.where(rho < tiny, one, a / jnp.where(rho < tiny,
+                                                               one, rho)),
+                      jnp.where(rho < tiny, 0.0 * one,
+                                bb / jnp.where(rho < tiny, one, rho)))
+            hr = hr.at[j].set(rho).at[j + 1].set(0.0)
+            R = R.at[:, j].set(hr)
+            Gj = c_ * G[j] + s_ * G[j + 1]
+            Gj1 = -s_ * G[j] + c_ * G[j + 1]
+            G = G.at[j].set(Gj).at[j + 1].set(Gj1)
+            res = beta * jnp.abs(G[j + 1, 0])     # LS residual estimate
+            return A_(Vm, R, G, j + 1, res)
 
-        Vm, H = jax.lax.fori_loop(0, m, arnoldi_step, (Vm, H))
-        # least-squares solve min ||beta e1 - H y|| via QR (lstsq's SVD
-        # path miscompiles on the TPU backend under x64; QR of the small
-        # (m+1, m) Hessenberg is also cheaper)
-        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        Q, R = jnp.linalg.qr(H)
-        rd = jnp.diagonal(R)
-        Rsafe = R + jnp.diag(jnp.where(jnp.abs(rd) < 1e-30, 1e-30, 0.0))
-        y = jax.scipy.linalg.solve_triangular(Rsafe, Q.T @ e1, lower=False)
-        x_new = x + y @ Vm[:m]
+        out = jax.lax.while_loop(
+            a_cond, a_body, A_(Vm, R, G, jnp.asarray(0, jnp.int32), beta))
+        jf = out.j
+        # masked triangular solve: unfilled columns k >= jf become identity
+        # rows with zero rhs so their y_k vanish
+        colf = jnp.arange(m) < jf
+        Rs = jnp.where(colf[None, :], out.R[:m], 0.0)
+        Rs = Rs + jnp.diag(jnp.where(colf, 0.0 * one, one))
+        rd = jnp.diagonal(Rs)
+        Rs = Rs + jnp.diag(jnp.where(jnp.abs(rd) < tiny, tiny, 0.0 * one))
+        g = beta * out.G[:m, 0]
+        g = jnp.where(colf, g, 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rs, g, lower=False)
+        x_new = x + y @ out.Vm[:m]
         rnorm = comm.norm(Mf(bf - Af(x_new)))
-        return x_new, rnorm
+        return x_new, rnorm, jf + 2   # jf matvecs + initial r + final check
 
     class S(NamedTuple):
         x: jnp.ndarray
@@ -270,8 +308,8 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
         return (s.rnorm > tol) & (s.k < maxiter) & progressing
 
     def body(s: S):
-        x_new, rnorm = arnoldi_cycle(s.x)
-        return S(x=x_new, rnorm=rnorm, rprev=s.rnorm, k=s.k + m)
+        x_new, rnorm, mv = arnoldi_cycle(s.x)
+        return S(x=x_new, rnorm=rnorm, rprev=s.rnorm, k=s.k + mv)
 
     r0 = comm.norm(Mf(bf - Af(xf0)))
     out = jax.lax.while_loop(cond, body,
