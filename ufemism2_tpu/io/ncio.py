@@ -110,6 +110,31 @@ class NCFile:
     def has(self, name) -> bool:
         return name in self.h5
 
+    def dim_names(self, name: str) -> list:
+        """Dimension names of a variable, in storage order.
+
+        Uses the '_dims' attribute for files we wrote, falling back to the
+        HDF5 dimension-scale lists netCDF4 writes."""
+        v = self.h5[name]
+        if "_dims" in v.attrs:
+            raw = v.attrs["_dims"]
+            if isinstance(raw, bytes):
+                raw = raw.decode()
+            return raw.split(",")
+        names = []
+        for i in range(v.ndim):
+            try:
+                scales = [s.name.lstrip("/") for s in v.dims[i]
+                          if s.name is not None]
+            except Exception:
+                scales = []
+            names.append(scales[0] if scales else "")
+        return names
+
+    def dims(self) -> dict:
+        """All dimension names -> sizes found in the file."""
+        return dict(self._dims)
+
     def attrs(self, name: str) -> dict:
         return dict(self.h5[name].attrs)
 
@@ -127,22 +152,62 @@ class NCFile:
         self.close()
 
 
-# -- field-name aliases (reference netcdf_field_name_options.f90) ------------
+# -- field-name aliases -------------------------------------------------------
+# Alias lists are data parity with the reference's accepted input spellings
+# (netcdf_field_name_options.f90:83-150, '||'-separated options), required so
+# the same input files load in both frameworks.
 
 FIELD_ALIASES = {
-    "Hi": ["Hi", "thickness", "lithk"],
-    "Hb": ["Hb", "bed", "topg"],
-    "Hs": ["Hs", "surface", "orog"],
+    "x": ["x", "X", "x1", "X1", "nx", "NX", "x-coordinate", "X-coordinate",
+          "easting", "Easting"],
+    "y": ["y", "Y", "y1", "Y1", "ny", "NY", "y-coordinate", "Y-coordinate",
+          "northing", "Northing"],
+    "zeta": ["zeta", "Zeta"],
+    "lon": ["lon", "Lon", "long", "Long", "longitude", "Longitude"],
+    "lat": ["lat", "Lat", "latitude", "Latitude"],
+    "time": ["time", "Time", "t", "nt"],
+    "month": ["month", "Month"],
+    "depth": ["depth", "Depth"],
+    "Hi": ["Hi", "thickness", "lithk", "ice_thickness"],
+    "Hb": ["Hb", "bed", "topg", "bed_topography"],
+    "Hs": ["Hs", "surface", "orog", "surface_topography"],
     "SL": ["SL", "sealevel"],
-    "x": ["x", "X", "x1", "nx"],
-    "y": ["y", "Y", "y1", "ny"],
-    "time": ["time", "Time", "t"],
+    "dHb": ["dHb"],
+    "Ti": ["Ti"],
+    "T_ocean": ["T_ocean", "t_ocean", "t_an", "votemper"],
+    "S_ocean": ["S_ocean", "s_ocean", "s_an", "vosaline"],
+    "dT_ocean": ["dT", "dT_ocean", "dTo"],
+    "dT_atmosphere": ["dT", "dT_atmosphere", "dT_atm", "dTa"],
+    "insolation": ["Q_TOA"],
+    "sealevel": ["SL", "sea_level", "sl"],
+    "GI": ["GI", "gi", "Glacial_Index", "glacial_index", "GlacialIndex"],
+    "CO2": ["CO2", "co2"],
+    "T2m": ["T2m", "T_2m", "Temp", "temp", "temperature", "tas"],
+    "Precip": ["Precip", "precip", "precipitation", "pr"],
+    "SMB": ["SMB", "smb", "acab"],
+    "BMB": ["BMB", "bmb", "libmassbf"],
 }
+
+
+def resolve_field_name(nc: NCFile, canonical: str):
+    """Resolve the name under which a canonical field appears in the file.
+
+    `canonical` may itself be a '||'-separated list of acceptable names
+    (the reference passes such strings straight through the API).
+    """
+    if "||" in canonical:
+        options = canonical.split("||")
+    else:
+        options = FIELD_ALIASES.get(canonical, [canonical])
+    for alias in options:
+        if nc.has(alias):
+            return alias
+    return None
 
 
 def find_field(nc: NCFile, canonical: str):
     """Resolve a field by its accepted aliases (read-and-remap input)."""
-    for alias in FIELD_ALIASES.get(canonical, [canonical]):
-        if nc.has(alias):
-            return nc.read(alias)
-    raise KeyError(f"no variable matching '{canonical}' in {nc.path}")
+    name = resolve_field_name(nc, canonical)
+    if name is None:
+        raise KeyError(f"no variable matching '{canonical}' in {nc.path}")
+    return nc.read(name)

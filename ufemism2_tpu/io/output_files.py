@@ -99,17 +99,106 @@ class ScalarOutputFile:
         self.nc.close()
 
 
+def _state_leaves(state):
+    """Flat {name: array} view of the IceState pytree (pc.* prefixed),
+    the generic restart/remap field walk (the reference's per-component
+    write_to_restart_file set, predictor_corrector_scheme.f90:510-620)."""
+    import dataclasses
+    out = {}
+    for f in dataclasses.fields(state):
+        v = getattr(state, f.name)
+        if dataclasses.is_dataclass(v):
+            for g in dataclasses.fields(v):
+                out[f"pc.{g.name}"] = getattr(v, g.name)
+        else:
+            out[f.name] = v
+    return out
+
+
+def _dims_for(arr, mesh):
+    lead = {mesh.nV: "vi", mesh.nTri: "ti", mesh.nE: "ei"}
+    if arr.ndim == 0:
+        return ()
+    d0 = lead.get(arr.shape[0])
+    if d0 is None:
+        raise ValueError(f"cannot map shape {arr.shape} to mesh dims")
+    if arr.ndim == 1:
+        return (d0,)
+    if arr.shape[1] == mesh.nz:
+        return (d0, "zeta")
+    if arr.shape[1] == 12:
+        return (d0, "month")
+    raise ValueError(f"cannot map shape {arr.shape} to mesh dims")
+
+
 def write_restart_file(path, mesh, state, time):
-    """Full-state restart (per-component restart files in the reference;
-    one consolidated pytree dump here, plus reference-named fields)."""
+    """Full-state restart: every IceState field (incl. the pc controller
+    state, so the adaptive dt resumes exactly -
+    predictor_corrector_scheme.f90:417-444) on the current mesh."""
+    leaves = _state_leaves(state)
     with NCFile(path, "w") as nc:
         setup_mesh_in_file(nc, mesh)
-        nc.def_dim("time", None)
-        nc.def_var("time", ("time",), units="years")
-        for name in ["Hi", "Hb", "SL", "dHi_dt", "Ti"]:
-            arr = np.asarray(getattr(state, name))
-            if arr.ndim == 1:
-                nc.def_var(name, ("time", "vi"))
-            else:
-                nc.def_var(name, ("time", "vi", "zeta"))
-            nc.append(name, arr, coord=time if name == "Hi" else None)
+        nc.def_dim("month", 12)
+        nc.h5.create_dataset("time", data=np.array([time]))
+        for name, v in leaves.items():
+            arr = np.asarray(v)
+            key = name.replace(".", "_")
+            if arr.dtype == bool:
+                arr = arr.astype(np.int8)
+            if arr.ndim == 0:
+                nc.h5.create_dataset(key, data=arr)
+                continue
+            nc.def_var(key, _dims_for(arr, mesh), dtype=arr.dtype)
+            nc.put(key, arr)
+        nc.set_global_attrs(restart_time=float(time), nV=mesh.nV,
+                            nTri=mesh.nTri)
+
+
+def load_restart_file(path):
+    """(time, {field: np.ndarray}) from a restart file written by
+    write_restart_file; 'pc_*' keys hold the pc-controller state."""
+    with NCFile(path) as nc:
+        time = float(np.asarray(nc.read("time")).reshape(-1)[0])
+        fields = {}
+        skip = {"V", "Tri", "TriGC", "A", "R", "zeta", "time", "time_r"}
+        for k in nc.h5:
+            import h5py as _h5
+            ds = nc.h5[k]
+            if not isinstance(ds, _h5.Dataset) or k in skip:
+                continue
+            if ds.attrs.get("CLASS") == b"DIMENSION_SCALE":
+                continue
+            fields[k] = ds[...]
+    return time, fields
+
+
+def restore_state_from_restart(state, path, mesh=None):
+    """IceState with every field (incl. pc controller) replaced from a
+    restart file. The restart mesh must match the current one (mesh
+    updates recreate restart files in the reference too,
+    UFEMISM_main_model.f90:320-329)."""
+    import dataclasses
+    import jax.numpy as jnp
+    time, fields = load_restart_file(path)
+
+    def cast(old, new):
+        arr = jnp.asarray(new)
+        if old.dtype == jnp.bool_:
+            return arr.astype(bool)
+        return arr.astype(old.dtype).reshape(old.shape)
+
+    updates = {}
+    for f in dataclasses.fields(state):
+        v = getattr(state, f.name)
+        if dataclasses.is_dataclass(v):
+            pc_updates = {}
+            for g in dataclasses.fields(v):
+                key = f"pc_{g.name}"
+                if key in fields:
+                    pc_updates[g.name] = cast(getattr(v, g.name),
+                                              fields[key])
+            if pc_updates:
+                updates[f.name] = v.replace(**pc_updates)
+        elif f.name in fields:
+            updates[f.name] = cast(v, fields[f.name])
+    return time, state.replace(**updates)

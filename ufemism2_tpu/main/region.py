@@ -82,8 +82,10 @@ class ModelRegion:
                 t_Hi_next=jnp.asarray(float(self.time)))
 
             # component models
-            self.run_climate = make_run_climate(C, self.md, self.name)
-            self.run_ocean = make_run_ocean(C, self.md, self.name)
+            self.run_climate = make_run_climate(C, self.md, self.name,
+                                                mesh=self.mesh)
+            self.run_ocean = make_run_ocean(C, self.md, self.name,
+                                            mesh=self.mesh)
             self.run_smb = make_run_smb(C, self.md, self.name)
             self.run_bmb = make_run_bmb(C, self.md, self.name)
             self.run_lmb = make_run_lmb(C, self.md, self.name)
@@ -166,9 +168,13 @@ class ModelRegion:
             _pure_bmb = getattr(C, f"choice_BMB_model_{self.name}") in (
                 "uniform", "idealised", "parameterised")
             _pure_smb = getattr(C, f"choice_SMB_model_{self.name}") in (
-                "uniform", "idealised")
+                "uniform", "idealised", "prescribed")
+            # matrix climate and IMAU-ITM SMB carry host-held state
+            # (albedo/firn history) and run on the per-component path
+            _pure_climate = getattr(
+                C, f"choice_climate_model_{self.name}") != "matrix"
             self._can_fuse_components = _pure_bmb and _pure_smb \
-                and not C.do_bed_roughness_nudging
+                and _pure_climate and not C.do_bed_roughness_nudging
 
             if self._can_fuse_components:
                 run_climate, run_ocean, run_smb = (self.run_climate,
@@ -249,6 +255,41 @@ class ModelRegion:
             self.n_dt_ice = 0
             self._outputs_open = False
             self.scalars_history = []
+
+            # pc-controller warm start from a restart file
+            # (predictor_corrector_scheme.f90:417-444 'read_from_file')
+            if getattr(C, f"pc_choice_initialise_{self.name}") \
+                    == "read_from_file":
+                from ..io.output_files import restore_state_from_restart
+                fname = getattr(C, f"filename_pc_initialise_{self.name}")
+                _, st = restore_state_from_restart(self.state, fname)
+                self.state = self.state.replace(pc=st.pc)
+
+    def resume_from_restart(self, path):
+        """Restore the full model state (incl. pc controller) and model
+        time from a restart file written by this run or an earlier one on
+        the same mesh; component events re-fire at the resumed time."""
+        from ..io.output_files import restore_state_from_restart
+        time, state = restore_state_from_restart(self.state, path)
+        self.state = state
+        self.time = time
+        for k in self.t_next:
+            self.t_next[k] = time if k not in ("GIA", "thermo",
+                                               "bed_roughness") \
+                or self.t_next[k] < _BIG else self.t_next[k]
+        if self.do_thermo:
+            self.t_thermo_next = time + self.C.dt_thermodynamics
+        # refresh component forcings at the resumed time
+        m0, fg0 = self._masks_fracs(self.md, self.state.Hi, self.state.Hb,
+                                    self.state.SL)
+        self.climate = self.run_climate(time, self.state)
+        self._T_surf = self.climate["T2m"].mean(axis=1)
+        self.ocean = self.run_ocean(time, self.state)
+        self.SMB = self.run_smb(time, self.state, climate=self.climate)
+        self.BMB = self.run_bmb(time, self.state, m0, fg0, self.ocean)
+        self.LMB = self.run_lmb(time, self.state, m0)
+        self.AMB = self.run_amb(time, self.state)
+        return self
 
     # -- output -------------------------------------------------------------
 
@@ -598,8 +639,10 @@ def _region_update_mesh(region):
     from ..models.lmb import make_run_lmb
     from ..models.amb import make_run_amb
     from ..models.gia import make_run_gia
-    region.run_climate = make_run_climate(C, region.md, region.name)
-    region.run_ocean = make_run_ocean(C, region.md, region.name)
+    region.run_climate = make_run_climate(C, region.md, region.name,
+                                          mesh=region.mesh)
+    region.run_ocean = make_run_ocean(C, region.md, region.name,
+                                      mesh=region.mesh)
     region.run_smb = make_run_smb(C, region.md, region.name)
     region.run_bmb = make_run_bmb(C, region.md, region.name)
     region.run_lmb = make_run_lmb(C, region.md, region.name)

@@ -135,7 +135,20 @@ def build_mesh_from_gridded_geometry(C, region: str, x, y, Hi, Hb,
     m = mesh_from_points(V, xmin, xmax, ymin, ymax, nz=C.nz,
                          choice_zeta_grid=C.choice_zeta_grid,
                          zeta_irregular_log_R=C.zeta_irregular_log_R)
-    return renumber_mesh_morton(m)
+    m = renumber_mesh_morton(m)
+    set_mesh_lonlat(m, C, region)
+    return m
+
+
+def set_mesh_lonlat(mesh: Mesh, C, region: str):
+    """Attach lon/lat secondary data from the region's projection
+    (mesh_secondary.f90 calc_lonlat; inverse Reerink 2010 projection)."""
+    from .projections import (inverse_oblique_sg_projection,
+                              region_projection_params)
+    proj = region_projection_params(C, region)
+    lon, lat = inverse_oblique_sg_projection(mesh.V[:, 0], mesh.V[:, 1],
+                                             *proj)
+    mesh.lon, mesh.lat, mesh.proj = lon, lat, proj
 
 
 def build_mesh_from_config(C, region: str = "ANT", geometry=None) -> Mesh:

@@ -71,6 +71,12 @@ class Mesh:
     zeta: np.ndarray = field(default=None)
     zeta_stag: np.ndarray = field(default=None)
 
+    # lon/lat secondary data (inverse oblique stereographic projection of
+    # V, reference mesh_secondary.f90; None for idealised domains)
+    lon: Optional[np.ndarray] = None   # [nV] degrees east in [0,360)
+    lat: Optional[np.ndarray] = None   # [nV] degrees north
+    proj: Optional[tuple] = None       # (lambda_M, phi_M, beta_stereo)
+
     # operators (filled by ops/operators.build_all_matrix_operators)
     operators: Optional[Any] = None
     # device-side arrays (filled lazily)

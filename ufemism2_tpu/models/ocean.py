@@ -1,8 +1,11 @@
 """Ocean models: 3-D T/S fields and ice-draft properties.
 
-Re-design of src/UFEMISM/ocean/ (ocean_main.f90:174-186): choices none /
-idealised / realistic / snapshot variants. Vertical axis: ocean depth grid
-(0 .. ocean_vertical_grid_max_depth, spacing dz).
+Re-design of src/UFEMISM/ocean/ (ocean_main.f90:92-106 dispatch): choices
+none / idealised / realistic (snapshot, snapshot_plus_uniform_deltaT,
+transient deltaT) / GlacialIndex, with cavity extrapolation of the forcing
+fields (ocean_extrapolation.f90:15-222). Vertical axis: ocean depth grid
+(0 .. ocean_vertical_grid_max_depth, spacing dz,
+ocean_utilities.f90:219-245).
 """
 
 from __future__ import annotations
@@ -18,7 +21,78 @@ def ocean_depth_axis(C):
                      C.ocean_vertical_grid_dz)
 
 
-def make_run_ocean(C, md, region_name: str):
+# ---------------------------------------------------------------------------
+# Cavity extrapolation (ocean_extrapolation.f90)
+# ---------------------------------------------------------------------------
+
+def _gaussian_fill_2d(mesh, d, fillable):
+    """Iterative neighbour-average fill of NaN entries flagged fillable
+    [nV, nz] (the reference's extrapolate_Gaussian applied per layer;
+    host-side numpy at initialisation time)."""
+    C = mesh.C
+    mask_C = C >= 0
+    Cs = np.maximum(C, 0)
+    d = d.copy()
+    for _ in range(64):
+        isnan = np.isnan(d)
+        todo = isnan & fillable
+        if not todo.any():
+            break
+        nb = d[Cs]                               # [nV, nC_mem, nz]
+        valid = (~np.isnan(nb)) & mask_C[:, :, None]
+        nbsum = np.where(valid, np.nan_to_num(nb), 0.0).sum(axis=1)
+        nbcnt = valid.sum(axis=1)
+        avg = nbsum / np.maximum(nbcnt, 1)
+        new = todo & (nbcnt > 0)
+        d[new] = avg[new]
+    return d
+
+
+def extrapolate_ocean_forcing(mesh, Hi, Hb, SL, z_ocean, d):
+    """Fill the 3-D ocean field into cavities, ice and bedrock
+    (ocean_extrapolation.f90 extrapolate_ocean_forcing:15-49):
+    0. NaN below bedrock; 1. horizontal fill inside cavities;
+    2. vertical fill up into the shelf and down into bedrock;
+    3. horizontal fill everywhere else."""
+    d = np.array(d, dtype=np.float64)
+    z = np.asarray(z_ocean)
+    # ice draft elevation: floating draft, clamped to the bed when grounded
+    Hib = np.maximum(np.asarray(SL) - np.asarray(Hi) * 910.0 / 1028.0,
+                     np.asarray(Hb))
+    Hb = np.asarray(Hb)
+
+    # step 0: below bedrock -> NaN
+    below_bed = z[None, :] > -Hb[:, None]
+    d[below_bed] = np.nan
+
+    # step 1: horizontal fill inside cavities only
+    in_cavity = (z[None, :] > -Hib[:, None]) & (z[None, :] < -Hb[:, None])
+    d = _gaussian_fill_2d(mesh, d, in_cavity)
+
+    # step 2: vertical fill (top: first non-NaN upward; bottom: downward)
+    for vi in range(d.shape[0]):
+        col = d[vi]
+        good = np.flatnonzero(~np.isnan(col))
+        if len(good) == 0:
+            continue
+        col[:good[0]] = col[good[0]]
+        col[good[-1]:] = col[good[-1]]
+        # interior gaps: linear interpolation between bracketing values
+        bad = np.isnan(col)
+        if bad.any():
+            col[bad] = np.interp(z[bad], z[~bad], col[~bad])
+        d[vi] = col
+
+    # step 3: horizontal fill everywhere
+    d = _gaussian_fill_2d(mesh, d, np.ones_like(d, dtype=bool))
+    return np.nan_to_num(d, nan=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Model factory
+# ---------------------------------------------------------------------------
+
+def make_run_ocean(C, md, region_name: str, mesh=None):
     """Returns run(time, state) -> dict(T [nV,nd], S [nV,nd], T_draft,
     S_draft, T_freezing_point)."""
     choice = getattr(C, f"choice_ocean_model_{region_name}")
@@ -61,4 +135,101 @@ def make_run_ocean(C, md, region_name: str):
             return lambda time, s: _draft_properties(Tf, Sf, s)
         raise ValueError(f"unknown choice_ocean_model_idealised '{sub}'")
 
-    raise NotImplementedError(f"choice_ocean_model '{choice}' not implemented")
+    if choice in ("realistic", "snapshot_plus_uniform_deltaT",
+                  "GlacialIndex", "deltaT_transient"):
+        return _make_run_realistic(C, md, region_name, mesh, choice,
+                                   depths, _draft_properties)
+
+    raise ValueError(f"unknown choice_ocean_model '{choice}'")
+
+
+def _load_snapshot_TS(C, mesh, md, fname, z_ocean, dtype,
+                      extrapolate=True):
+    """Read + cavity-extrapolate a T/S ocean snapshot
+    (ocean_realistic.f90 initialise_ocean_model_snapshot:176-226)."""
+    from ..io.input_files import read_field_from_file_3D_ocean
+    T = read_field_from_file_3D_ocean(fname, "T_ocean", mesh, z_ocean)
+    S = read_field_from_file_3D_ocean(fname, "S_ocean", mesh, z_ocean)
+    if extrapolate and C.choice_ocean_extrapolation_method \
+            == "initialisation":
+        region = getattr(md, "_region_name", "ANT")
+        Hi, Hb, SL = _init_geometry_for_extrap(C, region, mesh)
+        T = extrapolate_ocean_forcing(mesh, Hi, Hb, SL, z_ocean, T)
+        S = extrapolate_ocean_forcing(mesh, Hi, Hb, SL, z_ocean, S)
+    return jnp.asarray(T, dtype), jnp.asarray(S, dtype)
+
+
+def _init_geometry_for_extrap(C, region, mesh):
+    """Initial-geometry Hi/Hb/SL on the mesh (used to define cavities for
+    the extrapolation step)."""
+    choice = getattr(C, f"choice_refgeo_init_{region}")
+    if choice == "read_from_file":
+        from ..io.input_files import read_geometry_onto_mesh
+        return read_geometry_onto_mesh(C, region, mesh, which="init")
+    from ..core.idealised_geometries import calc_idealised_geometry
+    Hi, Hb, Hs, SL = calc_idealised_geometry(
+        mesh.V[:, 0], mesh.V[:, 1], C.choice_refgeo_init_idealised, C)
+    return Hi, Hb, SL
+
+
+def _make_run_realistic(C, md, region_name, mesh, choice, depths,
+                        _draft_properties):
+    if mesh is None:
+        raise ValueError(f"ocean '{choice}' needs the host mesh for file "
+                         "input")
+    dtype = md.A.dtype
+    z_ocean = np.asarray(depths)
+    md._region_name = region_name
+
+    if choice == "realistic" and C.choice_ocean_model_realistic not in (
+            "snapshot", "snapshot_plus_uniform_deltaT", "transient", ""):
+        raise ValueError("unknown choice_ocean_model_realistic "
+                         f"'{C.choice_ocean_model_realistic}'")
+
+    fname = getattr(C, f"filename_ocean_snapshot_{region_name}")
+    T0f, S0f = _load_snapshot_TS(C, mesh, md, fname, z_ocean, dtype)
+
+    if choice in ("realistic", "snapshot_plus_uniform_deltaT") and \
+            C.choice_ocean_model_realistic != "transient":
+        dT = getattr(C, f"ocean_uniform_deltaT_{region_name}") \
+            if (choice == "snapshot_plus_uniform_deltaT"
+                or C.choice_ocean_model_realistic
+                == "snapshot_plus_uniform_deltaT") else 0.0
+        Tf = T0f + dT
+        return lambda time, s: _draft_properties(Tf, S0f, s)
+
+    if choice == "deltaT_transient" or (
+            choice == "realistic"
+            and C.choice_ocean_model_realistic == "transient"):
+        # snapshot + spatially-uniform transient dT(t) from a series file
+        # (ocean_deltaT_transient.f90)
+        from ..io.input_files import read_series_from_file
+        fname_dT = getattr(C, f"filename_ocean_dT_{region_name}")
+        tt, dd = read_series_from_file(fname_dT, "dT_ocean")
+        tt_j = jnp.asarray(tt, dtype)
+        dd_j = jnp.asarray(dd, dtype)
+
+        def run(time, s):
+            dT = jnp.interp(jnp.asarray(time, dtype), tt_j, dd_j)
+            return _draft_properties(T0f + dT, S0f, s)
+        return run
+
+    # GlacialIndex: interpolate warm/cold snapshots by GI(t)
+    # (ocean_GlacialIndex.f90)
+    from ..io.input_files import read_series_from_file
+    fname_w = getattr(C, f"filename_ocean_warm_snapshot_{region_name}",
+                      "") or fname
+    fname_c = getattr(C, f"filename_ocean_cold_snapshot_{region_name}",
+                      "") or fname
+    Tw, Sw = _load_snapshot_TS(C, mesh, md, fname_w, z_ocean, dtype)
+    Tc, Sc = _load_snapshot_TS(C, mesh, md, fname_c, z_ocean, dtype)
+    fname_gi = getattr(C, "filename_glacial_index", "")
+    tt, gg = read_series_from_file(fname_gi, "GI")
+    tt_j = jnp.asarray(tt, dtype)
+    gg_j = jnp.asarray(gg, dtype)
+
+    def run(time, s):
+        GI = jnp.interp(jnp.asarray(time, dtype), tt_j, gg_j)
+        return _draft_properties(Tw * (1 - GI) + Tc * GI,
+                                 Sw * (1 - GI) + Sc * GI, s)
+    return run

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..utils.constants import pi, T0, L_fusion, ice_density
+from ..utils.constants import pi, T0, L_fusion, ice_density, sec_per_year
 from ..core.analytical import halfar_dHdt
 
 
@@ -68,55 +68,152 @@ def make_run_smb(C, md, region_name: str):
         raise ValueError(f"unknown choice_SMB_model_idealised '{sub}'")
 
     if choice == "IMAU-ITM":
-        return make_run_smb_imau_itm(C, md, region_name)
+        return ImauItmSMB(C, md, region_name)
+
+    if choice == "prescribed":
+        return _make_run_prescribed(C, md, region_name)
 
     raise NotImplementedError(f"choice_SMB_model '{choice}' not implemented")
 
 
-def make_run_smb_imau_itm(C, md, region_name):
-    """IMAU insolation-temperature-melt SMB model (SMB_IMAU_ITM.f90).
+def _make_run_prescribed(C, md, region_name):
+    """Time-constant SMB read from a file (SMB_prescribed.f90)."""
+    mesh = getattr(md, "_host_mesh", None)
+    fname = getattr(C, f"filename_SMB_prescribed_{region_name}", "")
+    if mesh is None or not fname:
+        raise ValueError("prescribed SMB needs filename_SMB_prescribed_"
+                         f"{region_name} and the host mesh on md")
+    from ..io.input_files import read_field_from_file_2D
+    val = jnp.asarray(read_field_from_file_2D(fname, "SMB", mesh),
+                      md.A.dtype)
+    return lambda time, s=None, climate=None: val
 
-    Monthly melt from temperature + insolation + albedo; refreezing from
-    superimposed-ice formation; requires a climate model providing monthly
-    T2m, Precip, and insolation Q_TOA.
+
+def imau_itm_params(C, region_name):
+    return dict(
+        c_abl_const=getattr(C, f"SMB_IMAUITM_C_abl_constant_{region_name}"),
+        c_abl_Ts=getattr(C, f"SMB_IMAUITM_C_abl_Ts_{region_name}"),
+        c_abl_Q=getattr(C, f"SMB_IMAUITM_C_abl_Q_{region_name}"),
+        c_refr=getattr(C, f"SMB_IMAUITM_C_refr_{region_name}"),
+        albedo_ice=C.SMB_IMAUITM_albedo_ice,
+        albedo_snow=C.SMB_IMAUITM_albedo_snow,
+        albedo_soil=C.SMB_IMAUITM_albedo_soil,
+        albedo_water=C.SMB_IMAUITM_albedo_water,
+    )
+
+
+def imau_itm_step(p, T2m, Precip, Q_TOA, masks, mask_noice,
+                  firn_prev, melt_prev_yr):
+    """One year of the IMAU insolation-temperature-melt SMB model
+    (SMB_IMAU_ITM.f90 run_SMB_model_IMAU_ITM:420-519), as a pure function.
+
+    Inputs: monthly climate [nV,12], ice masks, and the carried state
+    (FirnDepth [nV,12] in m snow, MeltPreviousYear [nV] in m w.e.).
+    Returns (SMB [m ice/yr], aux dict with the updated state).
+
+    The 12-month firn/albedo recurrence (month m uses month m-1's firn
+    depth, January uses last year's December) runs as a lax.scan.
     """
-    c_abl_const = C.SMB_IMAUITM_C_abl_constant_NAM if region_name == "NAM" \
-        else getattr(C, f"SMB_IMAUITM_C_abl_constant_{region_name}")
-    c_abl_Ts = getattr(C, f"SMB_IMAUITM_C_abl_Ts_{region_name}")
-    c_abl_Q = getattr(C, f"SMB_IMAUITM_C_abl_Q_{region_name}")
-    c_refr = getattr(C, f"SMB_IMAUITM_C_refr_{region_name}")
-    albedo_ice = C.SMB_IMAUITM_albedo_ice
-    albedo_snow = C.SMB_IMAUITM_albedo_snow
-    albedo_land = C.SMB_IMAUITM_albedo_land
-    albedo_water = C.SMB_IMAUITM_albedo_water
+    from jax import lax
 
-    def run(time, s=None, climate=None):
+    water_sfc = (masks["mask_icefree_ocean"]
+                 & ~masks["mask_floating_ice"]) | mask_noice
+    ice_sfc = masks["mask_grounded_ice"] | masks["mask_floating_ice"]
+    albedo_surf = jnp.full(T2m.shape[0], p["albedo_soil"], T2m.dtype)
+    albedo_surf = jnp.where(water_sfc, p["albedo_water"], albedo_surf)
+    albedo_surf = jnp.where(ice_sfc, p["albedo_ice"], albedo_surf)
+
+    # snow fraction (ANICE 'realistic' fractions, :469)
+    snowfrac = jnp.clip(0.5 * (1.0 - jnp.arctan((T2m - T0) / 3.5)
+                               / 1.25664), 0.0, 1.0)
+    snowfall = Precip * snowfrac
+    rainfall = Precip - snowfall
+
+    def month(firn_dec, mth):
+        T_m, Q_m, snow_m = mth
+        albedo = jnp.minimum(p["albedo_snow"], jnp.maximum(
+            albedo_surf,
+            p["albedo_snow"] - (p["albedo_snow"] - albedo_surf)
+            * jnp.exp(-15.0 * firn_dec) - 0.015 * melt_prev_yr))
+        albedo = jnp.where(water_sfc, p["albedo_water"], albedo)
+        # Bintanja et al. (2002) ablation [m w.e./month]
+        melt = jnp.maximum(0.0, (p["c_abl_Ts"] * (T_m - T0)
+                                 + p["c_abl_Q"] * (1.0 - albedo) * Q_m
+                                 - p["c_abl_const"])
+                           * sec_per_year / (L_fusion * 1000.0 * 12.0))
+        firn = jnp.clip(firn_dec + snow_m - melt, 0.0, 10.0)
+        return firn, (albedo, melt, firn)
+
+    xs = (T2m.T, Q_TOA.T, snowfall.T)      # leading month axis for scan
+    _, (albedo, melt, firn) = lax.scan(month, firn_prev[:, -1], xs)
+    albedo, melt, firn = albedo.T, melt.T, firn.T   # back to [nV, 12]
+
+    # yearly refreezing (Janssens & Huybrechts 2000), spread over months
+    sup_imp_wat = p["c_refr"] * jnp.maximum(0.0, T0 - T2m.mean(axis=1))
+    liquid_water = rainfall.sum(axis=1) + melt.sum(axis=1)
+    refreezing_year = jnp.minimum(
+        jnp.minimum(jnp.minimum(sup_imp_wat, liquid_water),
+                    Precip.sum(axis=1)),
+        0.25 * firn.mean(axis=1))
+    # no refreezing where there is no ice at all (the reference line at
+    # :500 uses .or., which zeroes it everywhere - the intended semantics)
+    refreezing_year = jnp.where(ice_sfc, refreezing_year, 0.0)
+
+    smb_monthly = snowfall + refreezing_year[:, None] / 12.0 - melt
+    SMB = smb_monthly.sum(axis=1) * 1000.0 / ice_density   # m w.e. -> m ice
+    return SMB, dict(FirnDepth=firn, MeltPreviousYear=melt.sum(axis=1),
+                     Albedo=albedo,
+                     SMB_monthly=smb_monthly * 1000.0 / ice_density)
+
+
+class ImauItmSMB:
+    """Stateful IMAU-ITM runner: carries FirnDepth / MeltPreviousYear /
+    Albedo across calls (the reference's type_SMB_model_IMAU_ITM fields).
+    Not fused into the jit component dispatch (it mutates host-held
+    state), matching the reference's once-per-dt_SMB cadence."""
+
+    def __init__(self, C, md, region_name):
+        from ..core.ice.masks import determine_masks, calc_mask_noice
+        self.p = imau_itm_params(C, region_name)
+        self.md = md
+        self._determine_masks = determine_masks
+        self.mask_noice = calc_mask_noice(
+            md, getattr(C, f"choice_mask_noice_{region_name}",
+                        getattr(C, "choice_mask_noice", "none")))
+        nV = md.nV
+        dtype = md.A.dtype
+        init_choice = getattr(C, f"choice_SMB_IMAUITM_init_firn_{region_name}")
+        if init_choice == "uniform":
+            self.FirnDepth = jnp.full((nV, 12),
+                                      C.SMB_IMAUITM_initial_firn_thickness,
+                                      dtype)
+        elif init_choice == "read_from_file":
+            mesh = getattr(md, "_host_mesh", None)
+            from ..io.input_files import read_field_from_file_2D_monthly
+            fname = getattr(C, f"filename_SMB_IMAUITM_init_firn_"
+                            f"{region_name}", "")
+            self.FirnDepth = jnp.asarray(
+                read_field_from_file_2D_monthly(fname, "FirnDepth", mesh),
+                dtype)
+        else:
+            raise ValueError("unknown choice_SMB_IMAUITM_init_firn "
+                             f"'{init_choice}'")
+        self.MeltPreviousYear = jnp.zeros(nV, dtype)
+        self.Albedo = jnp.full((nV, 12), self.p["albedo_snow"], dtype)
+
+    def __call__(self, time, s=None, climate=None):
         if climate is None:
             raise ValueError("IMAU-ITM requires a climate model")
-        T2m = climate["T2m"]            # [nV, 12]
-        Precip = climate["Precip"]      # [nV, 12] m w.e./month
-        Q_TOA = climate.get("Q_TOA")    # [nV, 12] W m^-2
+        Q_TOA = climate.get("Q_TOA")
         if Q_TOA is None:
-            Q_TOA = jnp.zeros_like(T2m)
-
-        # snow fraction (Ohmura et al., 1999)
-        snowfrac = jnp.maximum(0.0, jnp.minimum(1.0, 1.0 - 0.5 * (
-            T2m - T0 + 2.0)))
-        snowfall = Precip * snowfrac
-        rainfall = Precip - snowfall
-
-        # background albedo: simple ice/land split (full firn-depth history
-        # arrives with the coupled run framework)
-        albedo = jnp.where(s.Hi[:, None] > 0.1, albedo_snow, albedo_land)
-
-        melt = jnp.maximum(0.0, (T2m - T0) * c_abl_Ts
-                           + c_abl_Q * (1.0 - albedo) * Q_TOA
-                           - c_abl_const) / (L_fusion * 1000.0) * 12.0
-        melt = melt / 12.0
-        refreezing = jnp.minimum(
-            c_refr * jnp.maximum(0.0, T0 - T2m) * snowfall, melt + rainfall)
-        runoff = melt + rainfall - refreezing
-        smb_monthly = snowfall + refreezing - melt
-        smb = smb_monthly.sum(axis=1) * 1000.0 / ice_density
-        return smb
-    return run
+            raise ValueError("IMAU-ITM requires insolation (Q_TOA) from "
+                             "the climate model (set "
+                             "choice_insolation_forcing)")
+        masks = self._determine_masks(self.md, s.Hi, s.Hb, s.SL)
+        SMB, aux = imau_itm_step(self.p, climate["T2m"], climate["Precip"],
+                                 Q_TOA, masks, self.mask_noice,
+                                 self.FirnDepth, self.MeltPreviousYear)
+        self.FirnDepth = aux["FirnDepth"]
+        self.MeltPreviousYear = aux["MeltPreviousYear"]
+        self.Albedo = aux["Albedo"]
+        return SMB

@@ -47,7 +47,8 @@ def _polys_of(obj, grid_type="vertices"):
     from ..mesh.grids import Grid
     if isinstance(obj, Grid):
         p, nv = grid_polygons(obj)
-        return p, nv, obj.centres(), None, None
+        Dx, Dy = _grid_gradient_operators(obj)
+        return p, nv, obj.centres(), Dx, Dy
     if isinstance(obj, Mesh):
         if obj.operators is None:
             # gradient operators are required for the 2nd-order correction
@@ -60,6 +61,36 @@ def _polys_of(obj, grid_type="vertices"):
         p, nv = mesh_triangle_polygons(obj)
         return p, nv, obj.TriGC, ops.M_ddx_b_b, ops.M_ddy_b_b
     raise TypeError(f"cannot remap from {type(obj)}")
+
+
+def _grid_gradient_operators(grid):
+    """Sparse d/dx, d/dy on the flattened [x-major] grid (central
+    differences, one-sided at the borders) for the 2nd-order correction
+    of grid-sourced conservative remaps."""
+    import scipy.sparse as sp
+
+    nx, ny = grid.nx, grid.ny
+
+    def d1(n, h):
+        if n == 1:
+            return sp.csr_matrix((1, 1))
+        D = sp.lil_matrix((n, n))
+        for i in range(n):
+            if 0 < i < n - 1:
+                D[i, i - 1], D[i, i + 1] = -0.5 / h, 0.5 / h
+            elif i == 0:
+                D[0, 0], D[0, 1] = -1.0 / h, 1.0 / h
+            else:
+                D[i, i - 1], D[i, i] = -1.0 / h, 1.0 / h
+        return D.tocsr()
+
+    dx = grid.x[1] - grid.x[0] if nx > 1 else 1.0
+    dy = grid.y[1] - grid.y[0] if ny > 1 else 1.0
+    Ix = sp.identity(nx, format="csr")
+    Iy = sp.identity(ny, format="csr")
+    Dx = sp.kron(d1(nx, dx), Iy, format="csr")
+    Dy = sp.kron(Ix, d1(ny, dy), format="csr")
+    return Dx, Dy
 
 
 def _points_of(obj, grid_type="vertices"):

@@ -14,7 +14,21 @@ from __future__ import annotations
 
 import numpy as np
 
+def _quiet(fn):
+    """Padded (invalid) polygon lanes legitimately hold garbage that the
+    np.where masks discard; suppress the spurious FP warnings they
+    raise."""
+    import functools
 
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with np.errstate(invalid="ignore", over="ignore",
+                         divide="ignore"):
+            return fn(*a, **kw)
+    return wrapped
+
+
+@_quiet
 def polygon_areas_centroids(polys: np.ndarray, nv: np.ndarray):
     """Shoelace areas + centroids of padded CCW polygons [N,K,2]."""
     N, K, _ = polys.shape
@@ -41,6 +55,7 @@ def polygon_areas_centroids(polys: np.ndarray, nv: np.ndarray):
     return A, ctr
 
 
+@_quiet
 def clip_convex(subject: np.ndarray, nv_s: np.ndarray,
                 clipper: np.ndarray, nv_c: np.ndarray):
     """Clip convex subject polygons by convex clipper polygons (batched).

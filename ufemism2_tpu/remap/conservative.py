@@ -224,7 +224,74 @@ def build_map_trilin_mesh_to_points(mesh, dst_points):
                          shape=(len(dst_points), mesh.nV))
 
 
-def remap_vertical_1d(z_src, z_dst, F, conservative=True):
-    """1-D vertical (ocean-column) remap, 2nd-order conservative or linear
-    (reference interpolation.f90 remap_cons_2nd_order_1D)."""
-    return np.interp(z_dst, z_src, F)
+def remap_vertical_1d(z_src, z_dst, F, conservative=True,
+                      mask_src=None, mask_dst=None):
+    """1-D vertical (ocean-column) remap.
+
+    2nd-order conservative (reference interpolation.f90
+    remap_cons_2nd_order_1D): source/destination points are treated as cell
+    centres with boundaries at the midpoints (half-spacing extension at the
+    ends); each dst cell averages the piecewise-linear source reconstruction
+    (central slopes, one-sided at the boundaries) over the overlap regions,
+    normalised by the total overlap; dst cells with no overlapping unmasked
+    src cell fall back to nearest-neighbour. F may be [nz_src] or
+    [..., nz_src] (batched over leading axes). With conservative=False a
+    plain linear interpolation is used.
+    """
+    z_src = np.asarray(z_src, dtype=np.float64)
+    z_dst = np.asarray(z_dst, dtype=np.float64)
+    F = np.asarray(F, dtype=np.float64)
+    if not conservative:
+        return np.interp(z_dst, z_src, F) if F.ndim == 1 else np.stack(
+            [np.interp(z_dst, z_src, f) for f in F.reshape(-1, F.shape[-1])]
+        ).reshape(F.shape[:-1] + (len(z_dst),))
+
+    nz_src, nz_dst = len(z_src), len(z_dst)
+    msrc = (np.ones(nz_src, bool) if mask_src is None
+            else np.asarray(mask_src).astype(bool))
+    mdst = (np.ones(nz_dst, bool) if mask_dst is None
+            else np.asarray(mask_dst).astype(bool))
+    if not msrc.any() or not mdst.any():
+        return np.zeros(F.shape[:-1] + (nz_dst,), dtype=F.dtype)
+
+    def bounds(z):
+        zl = np.empty(len(z))
+        zu = np.empty(len(z))
+        zl[1:] = 0.5 * (z[:-1] + z[1:])
+        zl[0] = z[0] - 0.5 * (z[1] - z[0])
+        zu[:-1] = zl[1:]
+        zu[-1] = z[-1] + 0.5 * (z[-1] - z[-2])
+        return zl, zu
+
+    zl_s, zu_s = bounds(z_src)
+    zl_d, zu_d = bounds(z_dst)
+
+    # source slopes: central, one-sided at the ends
+    ddz = np.empty(F.shape)
+    ddz[..., 1:-1] = (F[..., 2:] - F[..., :-2]) / (z_src[2:] - z_src[:-2])
+    ddz[..., 0] = (F[..., 1] - F[..., 0]) / (z_src[1] - z_src[0])
+    ddz[..., -1] = (F[..., -1] - F[..., -2]) / (z_src[-1] - z_src[-2])
+
+    # overlap matrix [nz_dst, nz_src]
+    z_lo = np.maximum(zl_s[None, :], zl_d[:, None])
+    z_hi = np.minimum(zu_s[None, :], zu_d[:, None])
+    dz = np.maximum(0.0, z_hi - z_lo) * msrc[None, :]
+    z_mid = 0.5 * (z_lo + z_hi)
+
+    # piecewise-linear source value at the overlap midpoint
+    d_mid = F[..., None, :] + ddz[..., None, :] * (z_mid - z_src[None, :])
+    dz_tot = dz.sum(axis=1)
+    d_int = (d_mid * dz).sum(axis=-1)
+
+    out = np.zeros(F.shape[:-1] + (nz_dst,), dtype=F.dtype)
+    has = dz_tot > 0
+    out[..., has] = d_int[..., has] / dz_tot[has]
+    # nearest-neighbour fallback for dst cells with no overlap
+    no = mdst & ~has
+    if no.any():
+        src_idx = np.flatnonzero(msrc)
+        near = src_idx[np.argmin(
+            np.abs(z_dst[no][:, None] - z_src[src_idx][None, :]), axis=1)]
+        out[..., no] = F[..., near]
+    out[..., ~mdst] = 0.0
+    return out
