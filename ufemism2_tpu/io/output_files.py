@@ -71,7 +71,11 @@ class MeshOutputFile:
 
 
 SCALAR_FIELDS = ["ice_area", "ice_volume", "ice_volume_af",
-                 "SMB_total", "BMB_total", "LMB_total",
+                 "SMB_total", "SMB_gr", "SMB_fl", "SMB_land", "SMB_ocean",
+                 "BMB_total", "BMB_gr", "BMB_fl",
+                 "LMB_total", "LMB_gr", "LMB_fl", "AMB_total",
+                 "gl_flux", "cf_gr_flux", "cf_fl_flux",
+                 "margin_land_flux", "margin_ocean_flux", "dV_dt",
                  "dt_ice", "n_visc_its", "n_Axb_its"]
 
 

@@ -60,6 +60,12 @@ def run_model(config_path: str, output_dir: str | None = None):
     while t < C.end_time_of_run - 1e-9:
         t_next = min(t + C.dt_coupling, C.end_time_of_run)
         forcings.update(t)
+        # plumb the global sea level into every region
+        # (update_sealevel_at_model_time, UFEMISM_main_model.f90)
+        if forcings.choice_sealevel != "fixed" \
+                or forcings.sealevel != 0.0:
+            for region in regions.values():
+                region.set_sealevel(forcings.sealevel)
         for name, region in regions.items():
             happy("  Running region {} to t = {:.1f} yr ...", name, t_next)
             region.run_to(t_next)

@@ -256,6 +256,15 @@ class ModelRegion:
             self._outputs_open = False
             self.scalars_history = []
 
+            # checksum parity oracle (checksum_mod.f90; call points mirror
+            # ice_dynamics_main.f90:153-162)
+            from ..utils.checksum import ChecksumLogger
+            self.checksum = ChecksumLogger(
+                path=(Path(self.output_dir)
+                      / f"checksum_log_{self.name}.jsonl")
+                if (self.output_dir and C.do_write_checksum_log) else None,
+                enabled=C.do_write_checksum_log)
+
             # pc-controller warm start from a restart file
             # (predictor_corrector_scheme.f90:417-444 'read_from_file')
             if getattr(C, f"pc_choice_initialise_{self.name}") \
@@ -264,6 +273,25 @@ class ModelRegion:
                 fname = getattr(C, f"filename_pc_initialise_{self.name}")
                 _, st = restore_state_from_restart(self.state, fname)
                 self.state = self.state.replace(pc=st.pc)
+
+    def _log_checksums(self):
+        """Checksum the hot ice fields after each ice-dynamics dispatch
+        (the reference's call points, ice_dynamics_main.f90:153-162)."""
+        import jax
+        s = self.state
+        names = ("Hi", "Hs", "Hib", "TAF", "dHi_dt",
+                 "u_vav_b", "v_vav_b", "Ti")
+        vals = jax.device_get([getattr(s, n) for n in names])
+        for n, v in zip(names, vals):
+            self.checksum.log(f"ice.{n}", v, t=self.time)
+
+    def set_sealevel(self, sealevel: float):
+        """Apply a (possibly time-varying) global sea level to the region
+        (update_sealevel_at_model_time; derived geometry and masks are
+        recomputed from SL in the next ice-dynamics step)."""
+        self.state = self.state.replace(
+            SL=jnp.full_like(self.state.SL, sealevel))
+        return self
 
     def resume_from_restart(self, path):
         """Restore the full model state (incl. pc controller) and model
@@ -343,7 +371,12 @@ class ModelRegion:
                 fg = calc_grounded_fractions_bilin_TAF(
                     md_, s.Hi, s.Hb, s.SL, m["mask_floating_ice"])
                 scal = calc_ice_scalars(md_, s.Hi, s.Hb, s.SL, fg,
-                                        SMB, BMB, LMB)
+                                        SMB, BMB, LMB, masks=m,
+                                        fraction_margin=s.fraction_margin,
+                                        u_vav_b=s.u_vav_b,
+                                        v_vav_b=s.v_vav_b,
+                                        dHi_dt=s.dHi_dt,
+                                        dHi_dt_target=s.dHi_dt_target)
                 fields = {
                     "Hi": s.Hi, "Hb": s.Hb, "Hs": s.Hs, "Hib": s.Hib,
                     "SL": s.SL, "dHi_dt": s.dHi_dt,
@@ -453,6 +486,9 @@ class ModelRegion:
                                             max(t_end - t_hi, C.dt_ice_min))),
                             SMB=self.SMB, BMB=self.BMB, LMB=self.LMB)
                         self.n_dt_ice += 1
+
+                if self.checksum.enabled:
+                    self._log_checksums()
 
                 # advance region time to next action
                 t_candidates = [float(self.state.t_Hi_next)]

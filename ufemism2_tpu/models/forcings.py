@@ -31,6 +31,13 @@ class GlobalForcings:
             self._sl_series = self._read_series(
                 C.filename_prescribed_sealevel, "sealevel")
 
+        # CO2 record (global_forcings_main.f90 'CO2_direct')
+        if self._has(C, "choice_matrix_forcing") \
+                and C.choice_matrix_forcing == "CO2_direct" \
+                and getattr(C, "filename_CO2_record", ""):
+            self._co2_series = self._read_series(
+                C.filename_CO2_record, "CO2")
+
     @staticmethod
     def _has(C, k):
         try:
@@ -41,9 +48,10 @@ class GlobalForcings:
 
     @staticmethod
     def _read_series(path, var):
+        from ..io.ncio import find_field
         with NCFile(path) as nc:
-            t = nc.read("time")
-            v = nc.read(var)
+            t = find_field(nc, "time")
+            v = find_field(nc, var)
         return (np.asarray(t), np.asarray(v))
 
     def update(self, time: float):

@@ -25,6 +25,7 @@ class ChecksumLogger:
 
     def open(self):
         if self.path and self._fh is None:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
             self._fh = self.path.open("w")
 
     def log(self, name: str, field, t=None):
@@ -44,6 +45,7 @@ class ChecksumLogger:
         if self.path:
             self.open()
             self._fh.write(json.dumps(entry) + "\n")
+            self._fh.flush()
 
     def close(self):
         if self._fh:
