@@ -82,9 +82,16 @@ def calc_basal_friction_coefficient(C, md: MeshData, bed_roughness,
                            _idealised_sliding(C, md, uabs, V_host)
                            ).astype(uabs.dtype)
 
-    _, _, N_eff = run_basal_hydrology(
-        C, Hi_eff, Hb, SL,
-        mask_grounded_ice=masks.get("mask_grounded_ice"))
+    if C.choice_basal_hydrology_model == "Salle2025" \
+            and md.extras and "hydro_N_eff" in md.extras:
+        # transient till model: effective pressure computed by the
+        # Salle2025 leg at its own cadence (basal_hydrology_new.f90),
+        # registered in md.extras by the region event loop
+        N_eff = jnp.maximum(0.0, md.x("hydro_N_eff").astype(Hi_eff.dtype))
+    else:
+        _, _, N_eff = run_basal_hydrology(
+            C, Hi_eff, Hb, SL,
+            mask_grounded_ice=masks.get("mask_grounded_ice"))
 
     if choice == "Weertman":
         rough = apply_grounded_fractions_to_bed_roughness(

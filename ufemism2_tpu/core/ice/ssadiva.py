@@ -27,7 +27,7 @@ import numpy as np
 
 from ..mesh_data import MeshData, EField, EIndex
 from ...parallel import comm
-from ...utils.constants import ice_density, grav
+from ...utils.constants import ice_density, grav, seawater_density
 from ...mesh.zeta import integrate_from_base_up, vertical_average
 from ...ops.krylov import bicgstab, gmres
 from .masks import determine_masks
@@ -217,6 +217,8 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
     """
     is_diva = choice == "DIVA"
     with_sia = choice == "SIA/SSA"
+    ocean_pressure = getattr(C, "BC_ice_front", "infinite_slab") \
+        == "ocean_pressure"
     n_glen = C.Glens_flow_law_exponent
     no_sliding = C.choice_sliding_law == "no_sliding"
     if "ssa_bc_free" not in md.extras:
@@ -230,7 +232,7 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
         s = jnp.where(md.mask_TriC, md.ext_Tri(x)[md.TriC], 0.0).sum(axis=1)
         return s - n_nbr * x
 
-    def make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b):
+    def make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
         bc_free = md.x("ssa_bc_free")
         bc_inf_u = md.x("ssa_bc_inf_u")
         bc_inf_v = md.x("ssa_bc_inf_v")
@@ -271,10 +273,23 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
                 bc_inf_u, nbr_mean_residual(md, u, n_nbr), u))
             Av = jnp.where(bc_free, Av, jnp.where(
                 bc_inf_v, nbr_mean_residual(md, v, n_nbr), v))
+            if front is not None:
+                # ocean-pressure variant: Neumann ocean-back-pressure rows
+                # at the calving front, identity rows off the ice
+                # (solve_linearised_SSA_DIVA_ocean_pressure.f90:445-560:
+                #  4 N n_x du/dx + N n_y du/dy + 2 N n_x dv/dy
+                #    + N n_y dv/dx = tau_ox , and x<->y for v)
+                is_front, off, n_x, n_y = front
+                Au_f = (4 * N_b * n_x * ddx_u + N_b * n_y * ddy_u
+                        + 2 * N_b * n_x * ddy_v + N_b * n_y * ddx_v)
+                Av_f = (4 * N_b * n_y * ddy_v + N_b * n_x * ddx_v
+                        + 2 * N_b * n_y * ddx_u + N_b * n_x * ddy_u)
+                Au = jnp.where(off, u, jnp.where(is_front, Au_f, Au))
+                Av = jnp.where(off, v, jnp.where(is_front, Av_f, Av))
             return (Au, Av)
         return A
 
-    def make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b):
+    def make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
         """2x2 block-Jacobi: invert the per-triangle (u,v) diagonal block."""
         bc_free = md.x("ssa_bc_free")
         bc_inf_u = md.x("ssa_bc_inf_u")
@@ -296,6 +311,16 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
         avv = jnp.where(bc_free, avv, jnp.where(bc_inf_v, -n_nbr, 1.0))
         auv = jnp.where(bc_free, auv, 0.0)
         avu = jnp.where(bc_free, avu, 0.0)
+        if front is not None:
+            is_front, off, n_x, n_y = front
+            auu_f = 4 * N_b * n_x * d_ddx + N_b * n_y * d_ddy
+            avv_f = 4 * N_b * n_y * d_ddy + N_b * n_x * d_ddx
+            auv_f = 2 * N_b * n_x * d_ddy + N_b * n_y * d_ddx
+            avu_f = 2 * N_b * n_y * d_ddx + N_b * n_x * d_ddy
+            auu = jnp.where(off, 1.0, jnp.where(is_front, auu_f, auu))
+            avv = jnp.where(off, 1.0, jnp.where(is_front, avv_f, avv))
+            auv = jnp.where(off, 0.0, jnp.where(is_front, auv_f, auv))
+            avu = jnp.where(off, 0.0, jnp.where(is_front, avu_f, avu))
         det = auu * avv - auv * avu
         det = jnp.where(jnp.abs(det) < 1e-300, 1e-300, det)
 
@@ -328,6 +353,39 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
         Hi_b = md.M_map_a_b @ Hi
         tau_dx_b = -ice_density * grav * Hi_b * (md.M_ddx_a_b @ Hs)
         tau_dy_b = -ice_density * grav * Hi_b * (md.M_ddy_a_b @ Hs)
+
+        # ocean-pressure variant (BC_ice_front='ocean_pressure',
+        # DIVA_solver_ocean_pressure.f90): the reference solves on a
+        # masked ice-only graph with Neumann ocean-back-pressure rows at
+        # the calving front; here the same system is expressed as masked
+        # rows on the full mesh (identity rows off the ice)
+        front = None
+        tau_ox_b = tau_oy_b = None
+        if ocean_pressure:
+            ice_a = md.ext_V(Hi > 0.1)
+            ice_b = ice_a[md.Tri].any(axis=1)
+            ice_nbr = md.ext_Tri(ice_b)[md.TriC]
+            noice_nbr = (~ice_nbr) & md.mask_TriC
+            is_front = ice_b & noice_nbr.any(axis=1)
+            off = ~ice_b
+            # outward normal: towards the mean of the ice-free neighbour
+            # centroids (graph border_nhat equivalent)
+            gc_nbr = md.ext_Tri(md.TriGC)[md.TriC]    # [nTri,3,2]
+            d = jnp.where(noice_nbr[:, :, None],
+                          gc_nbr - md.TriGC[:, None, :], 0.0).sum(axis=1)
+            d_len = jnp.sqrt((d ** 2).sum(axis=1))
+            nhat = d / jnp.maximum(d_len, 1e-30)[:, None]
+            n_x, n_y = nhat[:, 0], nhat[:, 1]
+            front = (is_front, off, n_x, n_y)
+            # ocean back pressure (calc_ocean_back_pressure:660-670):
+            # Ho = min( max(SL - Hb, 0), rho_i/rho_sw * Hi )
+            Ho_a = jnp.minimum(jnp.maximum(SL - Hb, 0.0),
+                               ice_density / seawater_density * Hi)
+            Ho_b = md.M_map_a_b @ Ho_a
+            tau_mag = (0.5 * ice_density * grav * Hi_b ** 2
+                       - 0.5 * seawater_density * grav * Ho_b ** 2)
+            tau_ox_b = tau_mag * n_x
+            tau_oy_b = tau_mag * n_y
 
         bed_roughness = _bed_roughness_fields(C, md, s.bed_roughness)
         V_host = getattr(md, "_host_mesh", None)
@@ -408,10 +466,17 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
                     fraction_gr_b ** C.subgrid_friction_exponent_on_B_grid
 
             # linear solve (matrix-free BiCGSTAB)
-            A = make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b)
-            M = make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b)
+            A = make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=front)
+            M = make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b,
+                             front=front)
             b_u = jnp.where(bc_free, -tau_dx_b, 0.0)
             b_v = jnp.where(bc_free, -tau_dy_b, 0.0)
+            if front is not None:
+                is_front, off, _, _ = front
+                b_u = jnp.where(off, 0.0,
+                                jnp.where(is_front, tau_ox_b, b_u))
+                b_v = jnp.where(off, 0.0,
+                                jnp.where(is_front, tau_oy_b, b_v))
             if has_fix:
                 # fixed rows: relaxed weighted copy of the previous solution
                 # (find_ti_copy_* BCs)

@@ -24,6 +24,37 @@ from ..models.forcings import GlobalForcings
 REGIONS = ["NAM", "EAS", "GRL", "ANT"]
 
 
+def write_run_manifest(out_dir, config_path):
+    """Run manifest: git commit + library versions, the reference's
+    pre-compile stamping (git_commit_hash_and_package_versions.f90,
+    compile_UFEMISM.csh:73-78) done at run time instead."""
+    import json
+    import platform
+    from ..validation.scoreboard import git_hash
+
+    versions = {}
+    for mod in ("jax", "numpy", "scipy", "h5py"):
+        try:
+            versions[mod] = __import__(mod).__version__
+        except Exception:
+            versions[mod] = "unavailable"
+    manifest = {
+        "git_hash": git_hash(short=False),
+        "config": str(config_path),
+        "started": _time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "python": platform.python_version(),
+        "platform": platform.platform(),
+        "versions": versions,
+    }
+    try:
+        import jax
+        manifest["devices"] = [str(d) for d in jax.devices()]
+    except Exception:
+        pass
+    (Path(out_dir) / "run_manifest.json").write_text(
+        json.dumps(manifest, indent=1))
+
+
 def run_model(config_path: str, output_dir: str | None = None):
     from .region import ModelRegion
 
@@ -41,6 +72,7 @@ def run_model(config_path: str, output_dir: str | None = None):
     out.mkdir(parents=True, exist_ok=True)
     # copy the config into the output dir (reference does the same)
     (out / Path(config_path).name).write_text(Path(config_path).read_text())
+    write_run_manifest(out, config_path)
 
     forcings = GlobalForcings(C)
 
@@ -147,6 +179,15 @@ def main(argv=None):
         import pytest
         sys.exit(pytest.main(["-x", "-q",
                               str(Path(__file__).parents[2] / "tests")]))
+    if args.config == "component_tests":
+        from ..validation.component_tests import run_all_component_tests
+        run_all_component_tests(args.output_dir or "scoreboard")
+        return
+    if args.config in ("integrated_tests", "integrated_tests_full"):
+        from ..validation.integrated_tests import run_all_integrated_tests
+        run_all_integrated_tests(args.output_dir or "scoreboard",
+                                 quick=args.config == "integrated_tests")
+        return
     if args.config == "laddie":
         from .laddie_program import run_laddie_standalone
         if not args.laddie_config:

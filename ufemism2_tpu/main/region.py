@@ -147,57 +147,9 @@ class ModelRegion:
                 else None)
             self.t_thermo_next = self.time + C.dt_thermodynamics
 
-            # component forcing caches
-            nV = self.md.nV
-            @jax.jit
-            def _masks_fracs(md_, Hi, Hb, SL):
-                m = determine_masks(md_, Hi, Hb, SL)
-                fg = calc_grounded_fractions_bilin_TAF(
-                    md_, Hi, Hb, SL, m["mask_floating_ice"])
-                return m, fg
-            self._masks_fracs = _masks_fracs
-
-            # fused per-event component update: when every 'cheap'
-            # component is due at the same event time (the common case -
-            # they share dt cadences), ONE jitted dispatch computes
-            # climate/ocean/SMB/masks/BMB/LMB instead of ~6 host
-            # round-trips (each costs tens of ms through the remote
-            # dispatch tunnel). Gated to jit-pure component choices;
-            # laddie/inverted/file-driven models use the per-component
-            # path.
-            _pure_bmb = getattr(C, f"choice_BMB_model_{self.name}") in (
-                "uniform", "idealised", "parameterised")
-            _pure_smb = getattr(C, f"choice_SMB_model_{self.name}") in (
-                "uniform", "idealised", "prescribed")
-            # matrix climate and IMAU-ITM SMB carry host-held state
-            # (albedo/firn history) and run on the per-component path
-            _pure_climate = getattr(
-                C, f"choice_climate_model_{self.name}") != "matrix"
-            self._can_fuse_components = _pure_bmb and _pure_smb \
-                and _pure_climate and not C.do_bed_roughness_nudging
-
-            if self._can_fuse_components:
-                run_climate, run_ocean, run_smb = (self.run_climate,
-                                                   self.run_ocean,
-                                                   self.run_smb)
-                run_bmb, run_lmb = self.run_bmb, self.run_lmb
-                run_amb = self.run_amb
-
-                @jax.jit
-                def _components_all(md_, state, t):
-                    s = interpolate_ice_to_time(state, t)
-                    climate = run_climate(t, s)
-                    T_surf = climate["T2m"].mean(axis=1)
-                    ocean = run_ocean(t, s)
-                    SMB = run_smb(t, s, climate=climate)
-                    m = determine_masks(md_, s.Hi, s.Hb, s.SL)
-                    fg = calc_grounded_fractions_bilin_TAF(
-                        md_, s.Hi, s.Hb, s.SL, m["mask_floating_ice"])
-                    BMB = run_bmb(t, s, m, fg, ocean)
-                    LMB = run_lmb(t, s, m)
-                    AMB = run_amb(t, s)
-                    return climate, T_surf, ocean, SMB, BMB, LMB, AMB
-                self._components_all = _components_all
+            # component forcing caches + fused dispatch (rebuilt on every
+            # mesh update - the closures capture mesh-sized arrays)
+            self._build_component_dispatch()
 
             self.climate = self.run_climate(self.time, self.state)
             self._T_surf = self.climate["T2m"].mean(axis=1)
@@ -242,6 +194,10 @@ class ModelRegion:
                           else _BIG,
                 "bed_roughness": (t0 + C.bed_roughness_nudging_dt)
                                  if C.do_bed_roughness_nudging else _BIG,
+                "basal_hydro": t0
+                if C.choice_basal_hydrology_model == "Salle2025" else _BIG,
+                "tracers": (t0 + C.tractrackpart_dt_coupling)
+                if C.choice_tracer_tracking_model == "particles" else _BIG,
                 "output": t0, "output_restart": t0,
             }
             self.dt_comp = {
@@ -249,8 +205,32 @@ class ModelRegion:
                 "SMB": C.dt_SMB, "BMB": C.dt_BMB, "LMB": C.dt_LMB,
                 "GIA": C.dt_GIA, "thermo": C.dt_thermodynamics,
                 "bed_roughness": C.bed_roughness_nudging_dt,
+                "basal_hydro": C.dt_basal_hydro,
+                "tracers": C.tractrackpart_dt_coupling,
                 "output": C.dt_output, "output_restart": C.dt_output_restart,
             }
+
+            # Lagrangian tracer tracking (tracer_tracking_main.f90)
+            if C.choice_tracer_tracking_model == "particles":
+                from ..models.tracers import (PointLocator,
+                                              make_tracer_stepper)
+                loc = PointLocator(self.mesh)
+                (self._tracer_init, self._tracer_step,
+                 self._tracer_spawn, self._tracer_to_mesh) = \
+                    make_tracer_stepper(C, self.md, loc)
+                self.tracer_state = self._tracer_init(self.state, t0)
+                self._tracer_key = jax.random.PRNGKey(7)
+
+            # Salle2025 transient hydrology state + its extras slot
+            if C.choice_basal_hydrology_model == "Salle2025":
+                from ..core.ice.hydrology_salle2025 import \
+                    init_salle2025_state
+                from ..core.mesh_data import EField
+                from ..utils.constants import ice_density as _rho_i, \
+                    grav as _g
+                self.hydro_state = init_salle2025_state(self.md)
+                self.md.extras["hydro_N_eff"] = EField(
+                    _rho_i * _g * self.state.Hi, "V")
 
             self.n_dt_ice = 0
             self._outputs_open = False
@@ -273,6 +253,60 @@ class ModelRegion:
                 fname = getattr(C, f"filename_pc_initialise_{self.name}")
                 _, st = restore_state_from_restart(self.state, fname)
                 self.state = self.state.replace(pc=st.pc)
+
+    def _build_component_dispatch(self):
+        """(Re)build the jitted mask/fraction cache and the fused
+        per-event component update: when every 'cheap' component is due
+        at the same event time (the common case - they share dt
+        cadences), ONE jitted dispatch computes climate/ocean/SMB/masks/
+        BMB/LMB instead of ~6 host round-trips (each costs tens of ms
+        through the remote dispatch tunnel). Gated to jit-pure component
+        choices; laddie/inverted/file-driven models use the
+        per-component path. Must be called again after a mesh update
+        (the closures capture mesh-sized arrays)."""
+        C = self.C
+
+        @jax.jit
+        def _masks_fracs(md_, Hi, Hb, SL):
+            m = determine_masks(md_, Hi, Hb, SL)
+            fg = calc_grounded_fractions_bilin_TAF(
+                md_, Hi, Hb, SL, m["mask_floating_ice"])
+            return m, fg
+        self._masks_fracs = _masks_fracs
+
+        _pure_bmb = getattr(C, f"choice_BMB_model_{self.name}") in (
+            "uniform", "idealised", "parameterised")
+        _pure_smb = getattr(C, f"choice_SMB_model_{self.name}") in (
+            "uniform", "idealised", "prescribed")
+        # matrix climate and IMAU-ITM SMB carry host-held state
+        # (albedo/firn history) and run on the per-component path
+        _pure_climate = getattr(
+            C, f"choice_climate_model_{self.name}") != "matrix"
+        self._can_fuse_components = _pure_bmb and _pure_smb \
+            and _pure_climate and not C.do_bed_roughness_nudging
+
+        if self._can_fuse_components:
+            run_climate, run_ocean, run_smb = (self.run_climate,
+                                               self.run_ocean,
+                                               self.run_smb)
+            run_bmb, run_lmb = self.run_bmb, self.run_lmb
+            run_amb = self.run_amb
+
+            @jax.jit
+            def _components_all(md_, state, t):
+                s = interpolate_ice_to_time(state, t)
+                climate = run_climate(t, s)
+                T_surf = climate["T2m"].mean(axis=1)
+                ocean = run_ocean(t, s)
+                SMB = run_smb(t, s, climate=climate)
+                m = determine_masks(md_, s.Hi, s.Hb, s.SL)
+                fg = calc_grounded_fractions_bilin_TAF(
+                    md_, s.Hi, s.Hb, s.SL, m["mask_floating_ice"])
+                BMB = run_bmb(t, s, m, fg, ocean)
+                LMB = run_lmb(t, s, m)
+                AMB = run_amb(t, s)
+                return climate, T_surf, ocean, SMB, BMB, LMB, AMB
+            self._components_all = _components_all
 
     def _log_checksums(self):
         """Checksum the hot ice fields after each ice-dynamics dispatch
@@ -302,9 +336,10 @@ class ModelRegion:
         self.state = state
         self.time = time
         for k in self.t_next:
-            self.t_next[k] = time if k not in ("GIA", "thermo",
-                                               "bed_roughness") \
-                or self.t_next[k] < _BIG else self.t_next[k]
+            # re-fire only the events active in this configuration
+            # (inactive ones are parked at _BIG and must stay there)
+            if self.t_next[k] < _BIG:
+                self.t_next[k] = time
         if self.do_thermo:
             self.t_thermo_next = time + self.C.dt_thermodynamics
         # refresh component forcings at the resumed time
@@ -331,6 +366,18 @@ class ModelRegion:
             out / f"main_output_{self.name}_00001.nc", self.mesh)
         self.scalar_out = ScalarOutputFile(
             out / f"scalar_output_{self.name}_00001.nc")
+        # transect output files (transects_main.f90)
+        self.transect_out = []
+        tr_str = getattr(self.C, f"transects_{self.name}", "")
+        if tr_str:
+            from ..models.transects import Transect, TransectOutputFile
+            for spec in tr_str.split("||"):
+                spec = spec.strip()
+                if not spec:
+                    continue
+                tr = Transect.from_config_str(self.mesh, spec)
+                self.transect_out.append(TransectOutputFile(
+                    out / f"transect_{tr.name}.nc", tr))
         # per-ROI scalar files (scalar_output_files_ROI.f90)
         self.roi_scalar_out = {}
         self._roi_masks = {}
@@ -418,6 +465,10 @@ class ModelRegion:
                         self.SMB, self.BMB, self.LMB, mask))
                     self.roi_scalar_out[roi].write(
                         self.time, {k: float(v) for k, v in rs.items()})
+            if getattr(self, "transect_out", []):
+                s_now = self._interp_j(self.state, jnp.asarray(self.time))
+                for tout in self.transect_out:
+                    tout.write(self.time, s_now)
             if self.ismip_out is not None:
                 from ..io.ismip_output import ismip_fields_from_state
                 s_now = self._interp_j(self.state, jnp.asarray(self.time))
@@ -547,6 +598,30 @@ class ModelRegion:
         if need("LMB"):
             self.LMB = self.run_lmb(t, s, masks)
             bump("LMB")
+        if need("basal_hydro"):
+            if C.choice_basal_hydrology_model == "Salle2025":
+                from ..core.ice.hydrology_salle2025 import \
+                    run_salle2025_leg
+                if masks is None:
+                    masks, fg = self._masks_fracs(self.md, s.Hi, s.Hb,
+                                                  s.SL)
+                # base velocities on the a-grid (reference: ice%u_base)
+                u_base_a = self.md.M_map_b_a @ s.u_3D_b[:, -1]
+                v_base_a = self.md.M_map_b_a @ s.v_3D_b[:, -1]
+                self.hydro_state, N_til, _ = run_salle2025_leg(
+                    C, self.md, self.hydro_state, s.Hi, s.Hb,
+                    masks["mask_grounded_ice"], u_base_a, v_base_a)
+                self.md.extras["hydro_N_eff"].arr = N_til
+            bump("basal_hydro")     # always bump: a stray event must not
+        if need("tracers"):         # stall the scheduler
+            if C.choice_tracer_tracking_model == "particles":
+                dt_tr = self.dt_comp["tracers"]
+                self._tracer_key, sub = jax.random.split(self._tracer_key)
+                self.tracer_state = self._tracer_spawn(
+                    self.tracer_state, s, t, sub)
+                self.tracer_state = self._tracer_step(
+                    self.tracer_state, s, jnp.asarray(dt_tr), t)
+            bump("tracers")
         if need("GIA") and self.C.choice_GIA_model != "none":
             dHb_dt, dHb = self.run_gia(t, s, self.dt_comp["GIA"])
             self.state = self.state.replace(
@@ -634,27 +709,30 @@ def _region_update_mesh(region):
     new_mesh = build_mesh_from_gridded_geometry(
         C, region.name, g.x, g.y, Hi_g, Hb_g, SL_g)
 
-    # remap model state (2nd-order conservative for thickness/temperature)
-    M_cons = get_map(old_mesh, new_mesh)
-    def rm(x):
-        return jnp.asarray(M_cons @ np.asarray(x))
-    Hi_new = jnp.maximum(0.0, rm(s.Hi))
-    Hb_new = rm(s.Hb)
-    SL_new = rm(s.SL)
-    Ti_new = jnp.asarray(M_cons @ np.asarray(s.Ti))
+    # remap the FULL model state via the fields registry (every field
+    # transfers per its metadata - conservative / trilinear / reinit /
+    # copy; the reference's remap-everything walk,
+    # UFEMISM_main_model.f90:1311-1323)
+    from ..core.fields import remap_ice_state
+    from ..remap.conservative import build_map_nearest
+    M_cons_a = get_map(old_mesh, new_mesh)
+    M_tri_a = get_map(old_mesh, new_mesh, method="trilin")
+    M_b = build_map_nearest(old_mesh.TriGC, new_mesh.TriGC,
+                            old_mesh.nTri)
 
     region.mesh = new_mesh
     dtype = jnp.float32 if C.tpu_precision == "f32" else None
     region.md = build_mesh_data(new_mesh, dtype=dtype)
-    new_state = init_ice_state(region.md, Hi_new, Hb_new, SL_new, nz=C.nz,
-                               dt_init=float(s.pc.dt_np1))
+    Hi_new = jnp.maximum(0.0, jnp.asarray(M_cons_a @ np.asarray(s.Hi)))
+    new_state = init_ice_state(region.md, Hi_new,
+                               jnp.asarray(M_cons_a @ np.asarray(s.Hb)),
+                               jnp.asarray(M_tri_a @ np.asarray(s.SL)),
+                               nz=C.nz, dt_init=float(s.pc.dt_np1))
+    new_state = remap_ice_state(s, new_state, (M_cons_a, M_b),
+                                (M_tri_a, M_b))
     new_state = new_state.replace(
-        Ti=Ti_new, dHb=rm(s.dHb),
-        t_Hi_prev=s.t_Hi_next, t_Hi_next=s.t_Hi_next,
-        pc=new_state.pc.replace(
-            dt_n=s.pc.dt_n, dt_np1=s.pc.dt_np1,
-            eta_n=s.pc.eta_n, eta_np1=s.pc.eta_np1,
-            dHi_dt_Hi_nm1_u_nm1=rm(s.pc.dHi_dt_Hi_nm1_u_nm1)))
+        Hi=Hi_new, Hi_prev=Hi_new, Hi_next=Hi_new,
+        t_Hi_prev=s.t_Hi_next, t_Hi_next=s.t_Hi_next)
     region.state = new_state
 
     # rebuild jitted machinery + component models on the new mesh
@@ -699,6 +777,8 @@ def _region_update_mesh(region):
     region.pc_multistep = _mkms(
         C, region.pc_step,
         thermo_step=region._thermo_step if region._thermo_fused else None)
+    # the fused component dispatch captured the OLD mesh's closures
+    region._build_component_dispatch()
 
     # refresh component forcings + reset their clocks to now
     t = region.time

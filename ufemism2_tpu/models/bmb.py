@@ -46,6 +46,23 @@ def make_run_bmb(C, md, region_name: str):
             return _finalise(C, masks, fraction_gr, shelf)
         return run
 
+    if choice in ("prescribed", "prescribed_fixed"):
+        # time-constant sub-shelf melt field read from a file
+        # (BMB_prescribed.f90; 'prescribed_fixed' keeps it frozen on the
+        # initial mesh - identical here since fields remap on mesh update)
+        mesh = getattr(md, "_host_mesh", None)
+        fname = getattr(C, f"filename_BMB_prescribed_{region_name}")
+        if mesh is None or not fname:
+            raise ValueError("prescribed BMB needs filename_BMB_prescribed"
+                             f"_{region_name} and the host mesh")
+        from ..io.input_files import read_field_from_file_2D
+        val = jnp.asarray(read_field_from_file_2D(fname, "BMB", mesh),
+                          dtype)
+
+        def run(time, s, masks, fraction_gr, ocean=None):
+            return _finalise(C, masks, fraction_gr, val)
+        return run
+
     if choice == "idealised":
         sub = C.choice_BMB_model_idealised
         if sub in ("", "uniform"):
