@@ -120,11 +120,26 @@ def bench_halfar():
     }
 
 
+def _retry_tpu(fn, n=2):
+    """The axon TPU tunnel occasionally drops the worker mid-run
+    ('TPU worker process crashed or restarted'); the device comes back
+    after a short pause, so retry instead of losing the round's number."""
+    for attempt in range(n + 1):
+        try:
+            return fn()
+        except Exception as e:
+            if "UNAVAILABLE" not in str(e) or attempt == n:
+                raise
+            print(f"# TPU worker dropped ({e!r}); retrying in 120 s",
+                  flush=True)
+            time.sleep(120)
+
+
 def main():
     import jax
 
-    mismip = bench_mismip()
-    halfar = bench_halfar()
+    mismip = _retry_tpu(bench_mismip)
+    halfar = _retry_tpu(bench_halfar)
 
     v = mismip["sim_yr_per_hr"]
     print(json.dumps({

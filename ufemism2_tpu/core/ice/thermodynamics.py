@@ -393,4 +393,6 @@ def run_thermodynamics(C, md: MeshData, s, dt, T_surf_annual, SMB, BMB,
         Ti_pmp, Ki, Cpi, dzx, dzy, dzz, dzt, Phi,
         Q_base_grnd, T_base_float, masks, fraction_gr, Hi_eff, dt,
         SMB, geothermal)
-    return Ti_new, n_unstable
+    # keep the run dtype: f64 constants inside the heating/conductivity
+    # terms must not promote the f32 (tpu perf mode) Ti carry
+    return Ti_new.astype(Ti.dtype), n_unstable

@@ -174,7 +174,8 @@ class ModelRegion:
                 T_surf = self.climate["T2m"].mean(axis=1)
                 Ti0 = robin_solution(C, self.md, self.state.Hi_eff, Ti_pmp,
                                      m0, T_surf, self.SMB, self._geothermal)
-                self.state = self.state.replace(Ti=Ti0)
+                self.state = self.state.replace(
+                    Ti=Ti0.astype(self.state.Ti.dtype))
             elif ti_choice == "uniform":
                 self.state = self.state.replace(
                     Ti=jnp.full_like(
@@ -730,6 +731,7 @@ def _region_update_mesh(region):
                                nz=C.nz, dt_init=float(s.pc.dt_np1))
     new_state = remap_ice_state(s, new_state, (M_cons_a, M_b),
                                 (M_tri_a, M_b))
+    Hi_new = Hi_new.astype(new_state.Hi.dtype)   # scipy remap yields f64
     new_state = new_state.replace(
         Hi=Hi_new, Hi_prev=Hi_new, Hi_next=Hi_new,
         t_Hi_prev=s.t_Hi_next, t_Hi_next=s.t_Hi_next)

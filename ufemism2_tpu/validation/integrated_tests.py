@@ -168,8 +168,9 @@ def run_mismipplus(scoreboard_dir=None, quick=True, output_dir=None):
         # CI-speed: coarser GL resolution + short spinup leg from a
         # thicker slab (the reference's 100 m slab only grounds after
         # centuries; 500 m grounds immediately so a GL exists to score)
-        over.update(end_time_of_run=50.0,
-                    maximum_resolution_grounding_line=8e3,
+        over.update(end_time_of_run=20.0,
+                    maximum_resolution_grounding_line=16e3,
+                    maximum_resolution_grounded_ice=32e3,
                     refgeo_idealised_MISMIPplus_Hi_init=500.0)
     C = _load(cfg, **over)
     r = _region(C, output_dir)
