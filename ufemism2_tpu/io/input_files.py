@@ -370,3 +370,31 @@ def read_series_from_file(filename, field_name):
         t = np.asarray(find_field(nc, "time"), dtype=np.float64)
         d = np.asarray(find_field(nc, field_name), dtype=np.float64)
     return t, d
+
+
+def load_timeframe_series(filename, field_name, mesh, reader="2D",
+                          z_ocean=None, t_window=None):
+    """All timeframes of a field as (times [nt], frames [nt, ...]) for
+    device-preloaded time interpolation (TPU-first replacement of the
+    reference's 2-frame windows re-read from NetCDF, e.g.
+    ocean_snapshot_plus_anomalies.f90 update_timeframes:125-180).
+
+    reader: '2D' | '2D_monthly' | '3D_ocean'. t_window optionally
+    restricts to frames covering [t0, t1] (one extra frame either side).
+    """
+    with NCFile(filename) as nc:
+        t_all = np.asarray(find_field(nc, "time"), dtype=np.float64)
+    idx = np.arange(len(t_all))
+    if t_window is not None:
+        i0 = max(0, int(np.searchsorted(t_all, t_window[0])) - 1)
+        i1 = min(len(t_all), int(np.searchsorted(t_all, t_window[1])) + 2)
+        idx = idx[i0:i1]
+    read = {"2D": read_field_from_file_2D,
+            "2D_monthly": read_field_from_file_2D_monthly,
+            "3D_ocean": lambda f, n, m, time_to_read=None:
+                read_field_from_file_3D_ocean(f, n, m, z_ocean,
+                                              time_to_read=time_to_read),
+            }[reader]
+    frames = [read(filename, field_name, mesh, time_to_read=float(t_all[i]))
+              for i in idx]
+    return t_all[idx], np.stack(frames)

@@ -75,6 +75,9 @@ def make_run_climate(C, md, region_name: str, mesh=None):
                   "snapshot_plus_transient_deltaT"):
         return _make_run_snapshot(C, md, region_name, mesh, choice)
 
+    if choice == "snapshot_plus_anomalies":
+        return _make_run_snapshot_plus_anomalies(C, md, region_name, mesh)
+
     if choice == "matrix":
         from .climate_matrix import make_run_climate_matrix
         return make_run_climate_matrix(C, md, region_name, mesh)
@@ -183,4 +186,40 @@ def _make_run_snapshot(C, md, region_name, mesh, choice):
         if insol is not None:
             out["Q_TOA"] = insol.at_time(time)
         return out
+    return run
+
+
+def _make_run_snapshot_plus_anomalies(C, md, region_name, mesh):
+    """Baseline snapshot + time-interpolated monthly T2m/Precip anomaly
+    fields (climate_snapshot_plus_anomalies.f90:63-121; ISMIP6-style
+    aST/aPr forcing). Anomaly series device-preloaded; run is jit-pure."""
+    if mesh is None:
+        raise ValueError("climate snapshot_plus_anomalies needs the host "
+                         "mesh")
+    import jax.numpy as jnp
+    from ..io.input_files import load_timeframe_series
+    dtype = md.A.dtype
+
+    fname_snap = getattr(C, f"climate_snp_p_anml_filename_snapshot_"
+                         f"{region_name}")
+    Hs_snap, T2m_snap, Precip_snap = _load_snapshot(C, mesh, fname_snap,
+                                                    dtype)
+    fname_anml = getattr(C, f"climate_snp_p_anml_filename_anomalies_"
+                         f"{region_name}")
+    tt, dT = load_timeframe_series(fname_anml, "T2m_anomaly", mesh,
+                                   reader="2D_monthly")
+    _, dP = load_timeframe_series(fname_anml, "Precip_anomaly", mesh,
+                                  reader="2D_monthly")
+    tt_j = jnp.asarray(tt, dtype)
+    dT_j = jnp.asarray(dT, dtype)
+    dP_j = jnp.asarray(dP, dtype)
+
+    def run(time, s=None):
+        t = jnp.clip(jnp.asarray(time, dtype), tt_j[0], tt_j[-1])
+        i = jnp.clip(jnp.searchsorted(tt_j, t) - 1, 0, len(tt) - 2)
+        w = (t - tt_j[i]) / (tt_j[i + 1] - tt_j[i])
+        T2m = T2m_snap + (1 - w) * dT_j[i] + w * dT_j[i + 1]
+        Precip = jnp.maximum(
+            0.0, Precip_snap + (1 - w) * dP_j[i] + w * dP_j[i + 1])
+        return {"T2m": T2m, "Precip": Precip}
     return run

@@ -140,6 +140,37 @@ def make_run_ocean(C, md, region_name: str, mesh=None):
         return _make_run_realistic(C, md, region_name, mesh, choice,
                                    depths, _draft_properties)
 
+    if choice == "snapshot_plus_anomalies":
+        # baseline snapshot + time-interpolated 3-D T/S anomalies
+        # (ocean_snapshot_plus_anomalies.f90:22-70); the anomaly series
+        # is preloaded onto the device, interpolation is pure jnp
+        if mesh is None:
+            raise ValueError("ocean snapshot_plus_anomalies needs the "
+                             "host mesh")
+        from ..io.input_files import load_timeframe_series
+        z_ocean = np.asarray(depths)
+        md._region_name = region_name
+        T0f, S0f = _load_snapshot_TS(
+            C, mesh, md, C.ocean_snp_p_anml_filename_snapshot, z_ocean,
+            dtype)
+        fname = C.ocean_snp_p_anml_filename_anomalies
+        tt, dT = load_timeframe_series(fname, "temperature_anomaly", mesh,
+                                       reader="3D_ocean", z_ocean=z_ocean)
+        _, dS = load_timeframe_series(fname, "salinity_anomaly", mesh,
+                                      reader="3D_ocean", z_ocean=z_ocean)
+        tt_j = jnp.asarray(tt, dtype)
+        dT_j = jnp.asarray(dT, dtype)
+        dS_j = jnp.asarray(dS, dtype)
+
+        def run(time, s):
+            t = jnp.clip(jnp.asarray(time, dtype), tt_j[0], tt_j[-1])
+            i = jnp.clip(jnp.searchsorted(tt_j, t) - 1, 0, len(tt) - 2)
+            w = (t - tt_j[i]) / (tt_j[i + 1] - tt_j[i])
+            Tf = T0f + (1 - w) * dT_j[i] + w * dT_j[i + 1]
+            Sf = S0f + (1 - w) * dS_j[i] + w * dS_j[i + 1]
+            return _draft_properties(Tf, Sf, s)
+        return run
+
     raise ValueError(f"unknown choice_ocean_model '{choice}'")
 
 

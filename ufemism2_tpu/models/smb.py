@@ -73,7 +73,78 @@ def make_run_smb(C, md, region_name: str):
     if choice == "prescribed":
         return _make_run_prescribed(C, md, region_name)
 
+    if choice == "snapshot_plus_anomalies":
+        return _make_run_snapshot_plus_anomalies(C, md, region_name)
+
+    if choice == "reconstructed":
+        return _make_run_reconstructed(C, md, region_name)
+
     raise NotImplementedError(f"choice_SMB_model '{choice}' not implemented")
+
+
+def _make_run_snapshot_plus_anomalies(C, md, region_name):
+    """Baseline SMB snapshot + time-interpolated SMB anomaly field
+    (SMB_snapshot_plus_anomalies.f90:275-400; ISMIP6 aSMB forcing).
+    Anomaly series device-preloaded; run is jit-pure."""
+    mesh = getattr(md, "_host_mesh", None)
+    if mesh is None:
+        raise ValueError("SMB snapshot_plus_anomalies needs the host mesh")
+    from ..io.input_files import (read_field_from_file_2D,
+                                  load_timeframe_series)
+    dtype = md.A.dtype
+    smb0 = jnp.asarray(read_field_from_file_2D(
+        C.SMB_snp_p_anml_filename_snapshot_SMB, "SMB", mesh), dtype)
+    tt, dS = load_timeframe_series(C.SMB_snp_p_anml_filename_anomalies,
+                                   "SMB_anomaly", mesh, reader="2D")
+    tt_j = jnp.asarray(tt, dtype)
+    dS_j = jnp.asarray(dS, dtype)
+
+    def run(time, s=None, climate=None):
+        t = jnp.clip(jnp.asarray(time, dtype), tt_j[0], tt_j[-1])
+        i = jnp.clip(jnp.searchsorted(tt_j, t) - 1, 0, len(tt) - 2)
+        w = (t - tt_j[i]) / (tt_j[i + 1] - tt_j[i])
+        return smb0 + (1 - w) * dS_j[i] + w * dS_j[i + 1]
+    return run
+
+
+def _make_run_reconstructed(C, md, region_name):
+    """Patagonia reconstructed SMB (SMB_reconstructed.f90:130-240):
+    elevation-banded SMB inside the Patagonia ROI polygon (positive
+    above the ELA at 500 m, maximal at 1500 m, desertified by 2500 m),
+    flux-divergence-limited ablation outside, with two smoothing passes
+    blending the transition."""
+    if C.choice_regions_of_interest != "Patagonia":
+        raise ValueError("reconstructed SMB only implemented for "
+                         "choice_regions_of_interest == 'Patagonia' "
+                         "(as in the reference)")
+    from ..mesh.roi_polygons import calc_roi_polygon
+    from matplotlib.path import Path as MplPath
+    from .bed_roughness import smooth_field
+
+    dtype = md.A.dtype
+    poly = calc_roi_polygon("Patagonia")
+    inside = jnp.asarray(
+        MplPath(poly).contains_points(np.asarray(md.V)))
+    Hs_ela, Hs_tla, Hs_dla = 500.0, 1500.0, 2500.0
+    SMB_max, SMB_min = 2.0, -10.0
+
+    def run(time, s=None, climate=None):
+        Hs = s.Hs
+        rising = SMB_max * jnp.clip((Hs - Hs_ela) / (Hs_tla - Hs_ela),
+                                    0.0, 1.0)
+        falling = SMB_max * (1.0 - jnp.clip(
+            (Hs - Hs_tla) / (Hs_dla - Hs_tla), 0.0, 1.0))
+        smb_in = jnp.where(Hs <= Hs_tla, rising, falling)
+        smb_out = jnp.minimum(0.0, jnp.maximum(SMB_min, s.divQ - 0.5))
+        smb = jnp.where(inside, smb_in, smb_out).astype(dtype)
+        # blend with a smoothed copy inside the ROI (weight ~ elevation)
+        smb_sm = smooth_field(md, smb, n_pass=4)
+        w = jnp.clip(Hs / Hs_dla, 0.0, 1.0)
+        smb = jnp.where(inside, w * smb + (1 - w) * smb_sm, smb)
+        # outside: fully smoothed (second pass)
+        smb_sm2 = smooth_field(md, smb, n_pass=4)
+        return jnp.where(inside, smb, smb_sm2)
+    return run
 
 
 def _make_run_prescribed(C, md, region_name):
