@@ -82,16 +82,17 @@ SCALAR_FIELDS = ["ice_area", "ice_volume", "ice_volume_af",
 class ScalarOutputFile:
     """Buffered scalar time series (scalar_output_ANT_00001.nc)."""
 
-    def __init__(self, path):
+    def __init__(self, path, fields=None):
+        self.fields = fields or SCALAR_FIELDS
         self.nc = NCFile(path, "w")
         self.nc.def_dim("time", None)
         self.nc.def_var("time", ("time",), units="years")
-        for f in SCALAR_FIELDS:
+        for f in self.fields:
             self.nc.def_var(f, ("time",))
 
     def write(self, time, scalars: dict):
         first = True
-        for f in SCALAR_FIELDS:
+        for f in self.fields:
             if f not in scalars:
                 continue
             self.nc.append(f, float(scalars[f]),
@@ -206,3 +207,44 @@ def restore_state_from_restart(state, path, mesh=None):
         elif f.name in fields:
             updates[f.name] = cast(v, fields[f.name])
     return time, state.replace(**updates)
+
+
+class GridOutputFile:
+    """Gridded main output (main_output_<R>_grid.nc,
+    grid_output_files.f90): the mesh fields conservatively remapped onto
+    the square output grid at dx_output_grid_<R>; variables use the
+    reference's names so its analysis tooling reads the files directly."""
+
+    def __init__(self, path, mesh, grid, fields=None):
+        from ..remap.atlas import get_map
+        self.grid = grid
+        self.fields = fields or MESH_FIELDS_DEFAULT
+        self.M_a = get_map(mesh, grid)                 # vertices -> grid
+        from ..remap.conservative import build_map_nearest
+        self.M_b = build_map_nearest(mesh.TriGC, grid.centres(), mesh.nTri)
+        self.nc = NCFile(path, "w")
+        self.nc.def_dim("x", grid.nx)
+        self.nc.def_var("x", ("x",), units="m")
+        self.nc.put("x", grid.x)
+        self.nc.def_dim("y", grid.ny)
+        self.nc.def_var("y", ("y",), units="m")
+        self.nc.put("y", grid.y)
+        self.nc.def_dim("time", None)
+        self.nc.def_var("time", ("time",), units="years")
+        for f in self.fields:
+            self.nc.def_var(f, ("time", "y", "x"))
+
+    def write(self, time, state_fields: dict):
+        first = True
+        for f in self.fields:
+            if f not in state_fields:
+                continue
+            v = np.asarray(state_fields[f])
+            M = self.M_b if f.endswith("_b") else self.M_a
+            g = (M @ v).reshape(self.grid.nx, self.grid.ny).T   # [ny, nx]
+            self.nc.append(f, g, coord=time if first else None)
+            first = False
+        self.nc.h5.flush()
+
+    def close(self):
+        self.nc.close()

@@ -30,7 +30,8 @@ def run_laddie_standalone(config_path: str, output_dir: str | None = None,
     from ..core.ice.masks import determine_masks
     from ..models.ocean import make_run_ocean, ocean_depth_axis
     from ..models.laddie import (laddie_masks, make_laddie_step,
-                                 init_laddie_state, run_laddie_leg)
+                                 init_laddie_state, run_laddie_leg,
+                                 run_laddie_leg_with_diag)
     from ..core.ice.state import init_ice_state
     from ..io.output_files import MeshOutputFile, ScalarOutputFile
 
@@ -77,10 +78,18 @@ def run_laddie_standalone(config_path: str, output_dir: str | None = None,
     happy("LADDIE standalone: {} shelf vertices, integrating {} days ...",
           n_shelf, duration)
 
-    mesh_out = MeshOutputFile(str(out / "laddie_output_fields_mesh.nc"), mesh,
-                              fields=["H_lad", "U_lad", "V_lad", "T_lad",
-                                      "S_lad", "melt"])
-    scal_out = ScalarOutputFile(str(out / "laddie_scalar_output.nc"))
+    # the reference's laddie_mesh_output.f90 field set (geometry +
+    # plume state + melt diagnostics)
+    mesh_out = MeshOutputFile(
+        str(out / "laddie_output_fields_mesh.nc"), mesh,
+        fields=["H_lad", "U_lad", "V_lad", "T_lad", "S_lad", "melt",
+                "entr", "detr", "gamma_T", "T_base", "T_amb", "S_amb",
+                "Hib", "Hi", "TAF"])
+    scal_out = ScalarOutputFile(
+        str(out / "laddie_scalar_output.nc"),
+        fields=["melt_mean", "melt_max", "melt_tot_Gt", "entr_tot_Sv",
+                "layer_volume_km3", "T_mean", "T_min", "T_max",
+                "S_mean", "S_min", "S_max"])
 
     t0 = _time.time()
     # output cadence: C%dt_output (days within the standalone run,
@@ -90,8 +99,10 @@ def run_laddie_standalone(config_path: str, output_dir: str | None = None,
     leg_days = duration / n_legs
     area = np.asarray(md.A)
     shelf = np.asarray(lm.a)
+    from ..utils.constants import sec_per_year
     for i in range(n_legs):
-        lst, melt = run_laddie_leg(C, md, lst, lm, forcing, leg_days, step_fn)
+        lst, melt, diag = run_laddie_leg_with_diag(C, md, lst, lm, forcing,
+                                                   leg_days, step_fn)
         t_days = (i + 1) * leg_days
         melt_np = np.asarray(melt)
         mesh_out.write(t_days, {
@@ -99,13 +110,35 @@ def run_laddie_standalone(config_path: str, output_dir: str | None = None,
                                                             @ lst.U),
             "V_lad": np.asarray(md.M_map_b_a @ lst.V),
             "T_lad": np.asarray(lst.T), "S_lad": np.asarray(lst.S),
-            "melt": melt_np})
+            "melt": melt_np,
+            "entr": np.asarray(diag["entr"]) * sec_per_year,
+            "detr": np.asarray(diag["detr"]) * sec_per_year,
+            "gamma_T": np.asarray(diag["gamma_T"]),
+            "T_base": np.asarray(diag["T_base"]),
+            "T_amb": np.asarray(diag["T_amb"]),
+            "S_amb": np.asarray(diag["S_amb"]),
+            "Hib": np.asarray(state.Hib), "Hi": np.asarray(state.Hi),
+            "TAF": np.asarray(state.TAF)})
         wshelf = area * shelf
         mean_melt = float((melt_np * wshelf).sum() / max(wshelf.sum(), 1e-30))
+        H_np = np.asarray(lst.H)
+        T_np = np.asarray(lst.T)[shelf > 0]
+        S_np = np.asarray(lst.S)[shelf > 0]
+        entr_np = np.asarray(diag["entr"]) * sec_per_year
         scal_out.write(t_days, {
             "melt_mean": mean_melt,
             "melt_max": float(melt_np.max()),
             "melt_tot_Gt": float((melt_np * wshelf).sum() * 917e-12),
+            # reference laddie_scalar_output.f90 buffer set
+            "entr_tot_Sv": float((entr_np / sec_per_year
+                                  * wshelf).sum() / 1e6),
+            "layer_volume_km3": float((H_np * wshelf).sum() / 1e9),
+            "T_mean": float(T_np.mean()) if len(T_np) else 0.0,
+            "T_min": float(T_np.min()) if len(T_np) else 0.0,
+            "T_max": float(T_np.max()) if len(T_np) else 0.0,
+            "S_mean": float(S_np.mean()) if len(S_np) else 0.0,
+            "S_min": float(S_np.min()) if len(S_np) else 0.0,
+            "S_max": float(S_np.max()) if len(S_np) else 0.0,
         })
         happy("  LADDIE t = {:.1f} d: mean melt {:.3f} m/yr, max {:.3f} m/yr",
               t_days, mean_melt, float(melt_np.max()))

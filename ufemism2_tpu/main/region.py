@@ -50,6 +50,8 @@ class ModelRegion:
     mesh: Optional[Mesh] = None
     time: float = 0.0
     output_dir: Optional[str] = None
+    # max model-years per on-device fast-forward dispatch (see run_to)
+    max_ff_years: float = 50.0
 
     def __post_init__(self):
         C = self.C
@@ -367,6 +369,15 @@ class ModelRegion:
             out / f"main_output_{self.name}_00001.nc", self.mesh)
         self.scalar_out = ScalarOutputFile(
             out / f"scalar_output_{self.name}_00001.nc")
+        # gridded main output (grid_output_files.f90; created for every
+        # region like the reference, UFEMISM_main_model.f90:664)
+        from ..io.output_files import GridOutputFile
+        from ..mesh.grids import setup_square_grid
+        g = setup_square_grid(self.mesh.xmin, self.mesh.xmax,
+                              self.mesh.ymin, self.mesh.ymax,
+                              getattr(self.C, f"dx_output_grid_{self.name}"))
+        self.grid_out = GridOutputFile(
+            out / f"main_output_{self.name}_grid.nc", self.mesh, g)
         # transect output files (transects_main.f90)
         self.transect_out = []
         tr_str = getattr(self.C, f"transects_{self.name}", "")
@@ -466,6 +477,8 @@ class ModelRegion:
                         self.SMB, self.BMB, self.LMB, mask))
                     self.roi_scalar_out[roi].write(
                         self.time, {k: float(v) for k, v in rs.items()})
+            if getattr(self, "grid_out", None) is not None:
+                self.grid_out.write(self.time, fields)
             if getattr(self, "transect_out", []):
                 s_now = self._interp_j(self.state, jnp.asarray(self.time))
                 for tout in self.transect_out:
@@ -516,6 +529,11 @@ class ModelRegion:
                         t_stop = min(t_stop, self.t_last_mesh_update
                                      + C.dt_mesh_update_min)
                     t_hi = float(self.state.t_Hi_next)
+                    # bound the on-device fast-forward horizon: a single
+                    # multi-minute dispatch can trip the axon tunnel's
+                    # liveness watchdog ('TPU worker crashed'); chunking
+                    # costs one host round-trip per chunk, nothing more
+                    t_stop = min(t_stop, t_hi + self.max_ff_years)
                     if t_stop > t_hi + 1e-9:
                         if self._thermo_fused:
                             self.state, n, t_th = self.pc_multistep(

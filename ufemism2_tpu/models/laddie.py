@@ -437,6 +437,19 @@ def run_laddie_leg(C, md: MeshData, state: LaddieState, lm: LaddieMasks,
     return state, melt * sec_per_year
 
 
+def run_laddie_leg_with_diag(C, md: MeshData, state: LaddieState,
+                             lm: LaddieMasks, forcing,
+                             duration_days: float, step_fn=None):
+    """run_laddie_leg + one extra step to expose the full physics
+    diagnostics dict (melt/entr/detr/gammas/T_base/T_amb/S_amb) for the
+    LADDIE output files (laddie_mesh_output.f90's field set)."""
+    step_fn = step_fn or make_laddie_step(C, md)
+    state, melt = run_laddie_leg(C, md, state, lm, forcing,
+                                 duration_days, step_fn)
+    _, ph = step_fn((state, state), lm, forcing)
+    return state, melt, {k: v for k, v in ph.items()}
+
+
 def make_run_bmb_laddie(C, md: MeshData, region_name: str):
     """BMB coupling: run a LADDIE leg each call (BMB_main.f90 'laddie')."""
     from ..models.ocean import ocean_depth_axis
