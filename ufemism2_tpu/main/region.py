@@ -285,8 +285,12 @@ class ModelRegion:
         # (albedo/firn history) and run on the per-component path
         _pure_climate = getattr(
             C, f"choice_climate_model_{self.name}") != "matrix"
+        # nudge2D carries host-held deltaT state -> per-component path
+        _pure_ocean = getattr(
+            C, f"choice_ocean_model_{self.name}") != "snapshot+nudge2D"
         self._can_fuse_components = _pure_bmb and _pure_smb \
-            and _pure_climate and not C.do_bed_roughness_nudging
+            and _pure_climate and _pure_ocean \
+            and not C.do_bed_roughness_nudging
 
         if self._can_fuse_components:
             run_climate, run_ocean, run_smb = (self.run_climate,

@@ -140,6 +140,10 @@ def make_run_ocean(C, md, region_name: str, mesh=None):
         return _make_run_realistic(C, md, region_name, mesh, choice,
                                    depths, _draft_properties)
 
+    if choice == "snapshot+nudge2D":
+        return _OceanNudge2D(C, md, region_name, mesh, depths,
+                             _draft_properties)
+
     if choice == "snapshot_plus_anomalies":
         # baseline snapshot + time-interpolated 3-D T/S anomalies
         # (ocean_snapshot_plus_anomalies.f90:22-70); the anomaly series
@@ -264,3 +268,62 @@ def _make_run_realistic(C, md, region_name, mesh, choice, depths,
         return _draft_properties(Tw * (1 - GI) + Tc * GI,
                                  Sw * (1 - GI) + Sc * GI, s)
     return run
+
+
+class _OceanNudge2D:
+    """snapshot+nudge2D: nudge a 2-D ocean temperature offset deltaT(x,y)
+    so the modelled shelf thickness tracks the target geometry
+    (ocean_snapshot_nudge2D.f90: dT/dt = c_H dH + c_dHdt dH/dt on fully
+    floating non-margin shelf vertices, extrapolated outward, clipped to
+    +-2 K, added to the snapshot T). Stateful (deltaT carried between
+    calls at the dt_ocean cadence)."""
+
+    C_H = 1e-5
+    C_DHDT = 3e-4
+    DT_MAX = 2.0
+
+    def __init__(self, C, md, region_name, mesh, depths, draft_props):
+        if mesh is None:
+            raise ValueError("ocean snapshot+nudge2D needs the host mesh")
+        self.C, self.md = C, md
+        self._draft = draft_props
+        dtype = md.A.dtype
+        z_ocean = np.asarray(depths)
+        md._region_name = region_name
+        fname = getattr(C, f"filename_ocean_snapshot_{region_name}")
+        self.T0, self.S0 = _load_snapshot_TS(C, mesh, md, fname, z_ocean,
+                                             dtype)
+        # target thickness: the PD reference geometry
+        try:
+            Hi_t, _, _ = _init_geometry_for_extrap(C, region_name, mesh)
+        except Exception:
+            from ..io.input_files import read_geometry_onto_mesh
+            Hi_t, _, _ = read_geometry_onto_mesh(C, region_name, mesh,
+                                                 which="PD")
+        self.Hi_target = jnp.asarray(Hi_t, dtype)
+        self.deltaT = jnp.zeros(md.nV, dtype)
+        self._t_prev = None
+        self.t_start = C.BMB_inversion_t_start
+        self.t_end = C.BMB_inversion_t_end
+
+    def __call__(self, time, s):
+        t = float(time) if not hasattr(time, "aval") else None
+        # nudging only inside the inversion window; outside, apply the
+        # frozen deltaT (host-side state update like the BMB inversion)
+        if t is not None and self.t_start <= t <= self.t_end:
+            from .bed_roughness import gaussian_extrapolate
+            dt = (t - self._t_prev) if self._t_prev is not None \
+                else self.C.dt_ocean
+            self._t_prev = t
+            fully_floating = (s.Hi > 0.1) & (self.md.M_map_b_a
+                                             @ s.fraction_gr_b < 0.01)
+            seed = fully_floating & ~s.mask_margin
+            dTdt = jnp.where(seed,
+                             self.C_H * (s.Hi - self.Hi_target)
+                             + self.C_DHDT * s.dHi_dt, 0.0)
+            dT = jnp.clip(self.deltaT + dt * dTdt,
+                          -self.DT_MAX, self.DT_MAX)
+            fill = ~seed
+            dT = gaussian_extrapolate(self.md, seed, fill, dT)
+            self.deltaT = jnp.clip(dT, -self.DT_MAX, self.DT_MAX)
+        return self._draft(self.T0 + self.deltaT[:, None], self.S0, s)
