@@ -278,10 +278,15 @@ class MatrixClimate:
         T2m = T_ref - lam_GCM[:, None] * (s.Hs - Hs_GCM)[:, None]
 
         # --- precipitation (run_climate_model_matrix_precipitation :287)
-        w_tot_p = jnp.clip(
-            (s.Hs.sum() - self.warm["Hs"].sum())
-            / (self.cold["Hs"].sum() - self.warm["Hs"].sum()),
-            -W_CUTOFF_P, 1.0 + W_CUTOFF_P)
+        # total-ice-volume weight (Berends 2018 Eq. 12's second term);
+        # guarded against identical warm/cold orographies (0/0)
+        dHs_sum = self.cold["Hs"].sum() - self.warm["Hs"].sum()
+        w_tot_p = jnp.where(
+            jnp.abs(dHs_sum) > 1e-6,
+            jnp.clip((s.Hs.sum() - self.warm["Hs"].sum())
+                     / jnp.where(jnp.abs(dHs_sum) > 1e-6, dHs_sum, 1.0),
+                     -W_CUTOFF_P, 1.0 + W_CUTOFF_P),
+            0.5)
         if self.region in ("NAM", "EAS"):
             PI_Hs = self.GCM_PI["Hs"]
             warm_ice = self.warm["Hs"] >= PI_Hs + 50.0
