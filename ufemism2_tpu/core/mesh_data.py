@@ -18,7 +18,16 @@ import numpy as np
 
 from ..ops.sparse import (EllMatrix, ell_from_csr, TiledEllMatrix,
                           TiledEllStack, tiled_from_csr,
-                          tiled_stack_from_csr)
+                          tiled_stack_from_csr, grouped_stack_from_csr)
+
+
+def _build_m2_stack(mats, dtype):
+    """Flat tile slab. The T-grouped layout (grouped_stack_from_csr) is
+    26% faster in isolation but a net loss inside the fused viscosity
+    iteration (the inverse-row gather defeats XLA's fusion; measured
+    18.3k vs 19.7k sim-yr/hr on the MISMIP bench - PERF_NOTES.md), so
+    the flat slab stays the default."""
+    return tiled_stack_from_csr(mats, dtype=dtype)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -249,9 +258,9 @@ def build_mesh_data(mesh, dtype=None) -> MeshData:
         M2_d2dx2_b_b=e(ops.M2_d2dx2_b_b),
         M2_d2dxdy_b_b=e(ops.M2_d2dxdy_b_b),
         M2_d2dy2_b_b=e(ops.M2_d2dy2_b_b),
-        M2_stack=(tiled_stack_from_csr(
+        M2_stack=(_build_m2_stack(
             [ops.M2_ddx_b_b, ops.M2_ddy_b_b, ops.M2_d2dx2_b_b,
-             ops.M2_d2dxdy_b_b, ops.M2_d2dy2_b_b], dtype=dtype)
+             ops.M2_d2dxdy_b_b, ops.M2_d2dy2_b_b], dtype)
             if use_tiled else None),
         TriC=i(TriC), mask_TriC=jnp.asarray(mask_TriC),
         E_len=f(E_len), rev_pos=jnp.asarray(rev_pos),

@@ -253,3 +253,115 @@ def tiled_stack_from_csr(mats, R: int = 8, dtype=None) -> TiledEllStack:
         np.add.at(coef, (oi, b, r % R, slot, c % 128), d)
     return TiledEllStack(jnp.asarray(tile_ids),
                          jnp.asarray(coef, dtype=dtype), n_rows, n_cols)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class GroupedTiledEllStack:
+    """TiledEllStack with row blocks bucketed by their tile count.
+
+    The plain stack sizes its coefficient slab by the WORST block's tile
+    count (T_max ~ 8 on Morton-ordered meshes) while the mean is ~3, so
+    ~2/3 of the HBM traffic is structural zeros. Bucketing blocks into
+    T in {2,4,8,16} groups and contracting each group separately reads
+    ~T_mean instead of T_max per row (measured 26% faster apply on the
+    MISMIP 8 km b-grid; PERF_NOTES.md). Exact same arithmetic.
+
+    Row blocks are permuted group-by-group; `inv_rows` maps the
+    concatenated group output back to the original row order.
+    """
+
+    tile_ids: tuple     # per group: [nBg, Tg] int32
+    coef: tuple         # per group: [n_ops, nBg, R, Tg, 128]
+    inv_rows: jnp.ndarray   # [n_rows] int32
+    n_rows: int
+    n_cols: int
+
+    def apply(self, x):
+        """x [n_cols(,d)] -> [n_ops, n_rows(,d)]."""
+        ncp = ((self.n_cols + 127) // 128) * 128
+        vec = x.ndim == 1
+        if vec:
+            x = x[:, None]
+        d = x.shape[1]
+        xp = jnp.zeros((ncp, d), x.dtype).at[:self.n_cols].set(x)
+        xt = xp.reshape(-1, 128, d)
+        outs = []
+        for tid, coef in zip(self.tile_ids, self.coef):
+            xg = xt[tid]                        # [nBg, Tg, 128, d]
+            y = jnp.einsum("obrtw,btwd->obrd", coef, xg,
+                           preferred_element_type=x.dtype)
+            outs.append(y.reshape(coef.shape[0], -1, d))
+        yall = jnp.concatenate(outs, axis=1)[:, self.inv_rows]
+        return yall[..., 0] if vec else yall
+
+    def tree_flatten(self):
+        return (self.tile_ids, self.coef, self.inv_rows), \
+            (self.n_rows, self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0], aux[1])
+
+
+def grouped_stack_from_csr(mats, R: int = 8, dtype=None,
+                           bounds=(2, 4, 8, 16)) -> GroupedTiledEllStack:
+    """Build the T-grouped stack from scipy matrices (shared pattern)."""
+    mats = [m.tocsr() for m in mats]
+    n_rows, n_cols = mats[0].shape
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    U = mats[0].copy()
+    for m in mats[1:]:
+        U = U + m
+    Uc = (U != 0).tocoo()
+    rows, cols = Uc.row.astype(np.int64), Uc.col.astype(np.int64)
+    nB = (n_rows + R - 1) // R
+    b_of = rows // R
+    tile_of = cols // 128
+    nct = (n_cols + 127) // 128 + 1
+    pairs = np.unique(b_of * nct + tile_of)
+    pb, pt = pairs // nct, pairs % nct
+    T_of_b = np.bincount(pb, minlength=nB)
+    first = np.concatenate([[0], np.cumsum(T_of_b)[:-1]])
+    slot_of_pair = np.arange(len(pairs)) - first[pb]
+    # slot lookup for (block, tile) pairs, vectorised
+    pair_key = pb * nct + pt
+    assert int(T_of_b.max()) <= bounds[-1], \
+        f"block tile count {T_of_b.max()} exceeds the largest bucket"
+    group_of_b = np.searchsorted(bounds, np.maximum(T_of_b, 1))
+    order = np.argsort(group_of_b, kind="stable")
+
+    tid_groups, coef_groups, ginfo = [], [], []
+    for g in range(len(bounds)):
+        bs = order[group_of_b[order] == g]
+        if len(bs) == 0:
+            continue
+        Tg = bounds[g]
+        tid = np.zeros((len(bs), Tg), np.int32)
+        coef = np.zeros((len(mats), len(bs), R, Tg, 128), np.float64)
+        bpos = -np.ones(nB, np.int64)
+        bpos[bs] = np.arange(len(bs))
+        selp = bpos[pb] >= 0
+        tid[bpos[pb[selp]], slot_of_pair[selp]] = pt[selp]
+        for oi, m in enumerate(mats):
+            mc = m.tocoo()
+            rr = mc.row.astype(np.int64)
+            cc = mc.col.astype(np.int64)
+            dd = mc.data
+            bb = rr // R
+            sel = bpos[bb] >= 0
+            rr, cc, dd, bb = rr[sel], cc[sel], dd[sel], bb[sel]
+            ss = slot_of_pair[np.searchsorted(pair_key,
+                                              bb * nct + cc // 128)]
+            np.add.at(coef, (oi, bpos[bb], rr % R, ss, cc % 128), dd)
+        ginfo.append(bs)
+        tid_groups.append(jnp.asarray(tid))
+        coef_groups.append(jnp.asarray(coef, dtype=dtype))
+    bs_all = np.concatenate(ginfo)
+    row_perm = (bs_all[:, None] * R + np.arange(R)[None, :]).reshape(-1)
+    inv = np.zeros(nB * R, np.int64)
+    inv[row_perm] = np.arange(nB * R)
+    return GroupedTiledEllStack(tuple(tid_groups), tuple(coef_groups),
+                                jnp.asarray(inv[:n_rows], jnp.int32),
+                                n_rows, n_cols)
