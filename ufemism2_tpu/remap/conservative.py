@@ -195,11 +195,27 @@ def build_map_nearest(src_points, dst_points, n_src):
 
 
 def build_map_trilin_mesh_to_points(mesh, dst_points):
-    """Barycentric (linear) interpolation from mesh vertices to points."""
-    tree = cKDTree(mesh.TriGC)
-    _, t0 = tree.query(dst_points)
-    # walk to containing triangle not needed for interpolation accuracy at
-    # map-build level; use barycentric coords of nearest triangle, clipped
+    """Barycentric (linear) interpolation from mesh vertices to points.
+
+    The containing triangle is found exactly (matplotlib's trapezoid-map
+    point locator, the same role as the reference's
+    find_containing_triangle walk, mesh_utilities.f90); points outside
+    the triangulation fall back to the nearest triangle's clipped
+    barycentric weights."""
+    dst_points = np.asarray(dst_points)
+    try:
+        import matplotlib.tri as mtri
+        T = mtri.Triangulation(mesh.V[:, 0], mesh.V[:, 1], mesh.Tri)
+        finder = T.get_trifinder()
+        t0 = np.asarray(finder(dst_points[:, 0], dst_points[:, 1]))
+    except Exception:
+        t0 = np.full(len(dst_points), -1, dtype=np.int64)
+    outside = t0 < 0
+    if outside.any():
+        tree = cKDTree(mesh.TriGC)
+        _, t_near = tree.query(dst_points[outside])
+        t0 = t0.copy()
+        t0[outside] = t_near
     tri = mesh.Tri[t0]
     a = mesh.V[tri[:, 0]]
     b = mesh.V[tri[:, 1]]
