@@ -45,22 +45,38 @@ def make_run_gia(C, md, region_name: str, mesh):
         # w_eq(k) = -rho_i g H / (rho_m g + D k^4)
         D_flex = C.ELRA_lithosphere_flex_rigidity
         tau = C.ELRA_bedrock_relaxation_time
+        # real FFT in f32: TPU has no complex128, and c64 suffices for
+        # the smooth flexural response
         kx = 2 * np.pi * np.fft.fftfreq(nx, dx)
-        ky = 2 * np.pi * np.fft.fftfreq(ny, dx)
+        ky = 2 * np.pi * np.fft.rfftfreq(ny, dx)
         KX, KY = np.meshgrid(kx, ky, indexing="ij")
         k4 = (KX ** 2 + KY ** 2) ** 2
-        denom = jnp.asarray(C.ELRA_mantle_density * grav + D_flex * k4)
+        denom = jnp.asarray(C.ELRA_mantle_density * grav + D_flex * k4,
+                            jnp.float32)
+
+        def surface_load(Hi, Hb, SL, TAF):
+            return jnp.where(TAF > 0, ice_density * Hi,
+                             jnp.where(Hb < SL,
+                                       -seawater_density * (SL - Hb),
+                                       0.0))
+
+        # GIA-equilibrium reference load (GIA_ELRA.f90
+        # initialise_ELRA_reference_load): the bed only deforms in
+        # response to the load ANOMALY relative to the GIAeq geometry
+        from ..core.ice.geometry import thickness_above_flotation
+        Hi_eq, Hb_eq, SL_eq = _refgeo_GIAeq(C, region_name, mesh)
+        Hi_eq_j = jnp.asarray(Hi_eq, dtype)
+        Hb_eq_j = jnp.asarray(Hb_eq, dtype)
+        SL_eq_j = jnp.asarray(SL_eq, dtype)
+        TAF_eq = thickness_above_flotation(Hi_eq_j, Hb_eq_j, SL_eq_j)
+        load_ref_m = surface_load(Hi_eq_j, Hb_eq_j, SL_eq_j, TAF_eq)
 
         def run(time, s, dt):
-            # grid load anomaly (ice + ocean)
-            load_m = jnp.where(s.TAF > 0, ice_density * s.Hi,
-                               jnp.where(s.Hb + s.dHb < s.SL,
-                                         -seawater_density * (s.SL - s.Hb),
-                                         0.0))
-            load = load_m[g2m]
-            w_eq_hat = -grav * jnp.fft.fft2(load) / denom
-            w_eq = jnp.real(jnp.fft.ifft2(w_eq_hat))
-            dHb_eq_m = w_eq.ravel()[m2g]
+            load_m = surface_load(s.Hi, s.Hb + s.dHb, s.SL, s.TAF)
+            load = (load_m - load_ref_m)[g2m].astype(jnp.float32)
+            w_eq_hat = -grav * jnp.fft.rfft2(load) / denom
+            w_eq = jnp.fft.irfft2(w_eq_hat, s=(nx, ny))
+            dHb_eq_m = w_eq.ravel()[m2g].astype(s.dHb.dtype)
             # relaxation toward equilibrium
             dHb_dt = (dHb_eq_m - s.dHb) / tau
             dHb_new = s.dHb + dHb_dt * dt
@@ -68,3 +84,33 @@ def make_run_gia(C, md, region_name: str, mesh):
         return run
 
     raise NotImplementedError(f"choice_GIA_model '{choice}' not implemented")
+
+
+def _refgeo_GIAeq(C, region_name, mesh):
+    """GIA-equilibrium reference geometry on the mesh vertices
+    (reference_geometries; falls back to the initial geometry when no
+    GIAeq choice resolves, matching idealised test setups)."""
+    import os
+    choice = getattr(C, f"choice_refgeo_GIAeq_{region_name}",
+                     "read_from_file")
+    if choice == "idealised":
+        from ..core.idealised_geometries import calc_idealised_geometry
+        sub = getattr(C, "choice_refgeo_GIAeq_idealised", "") \
+            or C.choice_refgeo_init_idealised
+        Hi, Hb, _, SL = calc_idealised_geometry(
+            mesh.V[:, 0], mesh.V[:, 1], sub, C)
+        return np.where(Hi < C.refgeo_Hi_min, 0.0, Hi), Hb, SL
+    fname = getattr(C, f"filename_refgeo_GIAeq_{region_name}", "")
+    if fname and os.path.exists(fname):
+        from ..io.input_files import read_geometry_onto_mesh
+        return read_geometry_onto_mesh(C, region_name, mesh,
+                                       which="GIAeq")
+    # fall back to the initial geometry
+    init_choice = getattr(C, f"choice_refgeo_init_{region_name}")
+    if init_choice == "idealised":
+        from ..core.idealised_geometries import calc_idealised_geometry
+        Hi, Hb, _, SL = calc_idealised_geometry(
+            mesh.V[:, 0], mesh.V[:, 1], C.choice_refgeo_init_idealised, C)
+        return np.where(Hi < C.refgeo_Hi_min, 0.0, Hi), Hb, SL
+    from ..io.input_files import read_geometry_onto_mesh
+    return read_geometry_onto_mesh(C, region_name, mesh, which="init")
