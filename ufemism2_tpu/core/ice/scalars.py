@@ -16,8 +16,14 @@ from ...utils.constants import ice_density, seawater_density, ocean_area
 from .geometry import thickness_above_flotation
 
 
+# The reference converts m^3 ice/yr -> "Gt/yr" with a flat 1.0E-9
+# (ice_mass_and_fluxes.f90:226-428), i.e. water-equivalent-density
+# convention; match it exactly so scalar outputs compare 1:1.
+_TO_GT = 1e-9
+
+
 def _flux_Gt(SMB, A, where):
-    return jnp.where(where, SMB * A, 0.0).sum() * ice_density * 1e-12
+    return jnp.where(where, SMB * A, 0.0).sum() * _TO_GT
 
 
 def calc_transitional_fluxes(md, Hi, masks, fraction_margin,
@@ -37,7 +43,7 @@ def calc_transitional_fluxes(md, Hi, masks, fraction_margin,
     valid = md.mask_C
     Hi_vj = md.ext_V(Hi)[C]
     fm_vj = md.ext_V(fraction_margin)[C]
-    to_Gt = ice_density * 1e-12
+    to_Gt = _TO_GT
 
     def nbr(mask):
         return md.ext_V(mask)[C]
@@ -93,7 +99,7 @@ def calc_ice_scalars(md, Hi, Hb, SL, fraction_gr, SMB, BMB, LMB,
     volume_af = (jnp.where(has_ice, jnp.maximum(0.0, TAF) * A, 0.0)).sum() \
         * sle
 
-    to_Gt = ice_density * 1e-12  # m^3 ice/yr -> Gt/yr
+    to_Gt = _TO_GT  # m^3 ice/yr -> Gt/yr (reference convention)
     out = dict(ice_area=area, ice_volume=volume, ice_volume_af=volume_af,
                SMB_total=(SMB * A).sum() * to_Gt,
                BMB_total=(BMB * A).sum() * to_Gt,

@@ -716,6 +716,7 @@ def _region_update_mesh(region):
 
     C = region.C
     old_mesh = region.mesh
+    old_md_extras = dict(region.md.extras)
     s = region.state
 
     # rasterise current geometry to a temp grid for feature extraction
@@ -777,6 +778,7 @@ def _region_update_mesh(region):
     from ..models.lmb import make_run_lmb
     from ..models.amb import make_run_amb
     from ..models.gia import make_run_gia
+    old_runners = (region.run_climate, region.run_ocean, region.run_smb)
     region.run_climate = make_run_climate(C, region.md, region.name,
                                           mesh=region.mesh)
     region.run_ocean = make_run_ocean(C, region.md, region.name,
@@ -786,6 +788,62 @@ def _region_update_mesh(region):
     region.run_lmb = make_run_lmb(C, region.md, region.name)
     region.run_amb = make_run_amb(C, region.md, region.name)
     region.run_gia = make_run_gia(C, region.md, region.name, region.mesh)
+
+    # stateful runners (IMAU-ITM firn/albedo, matrix-climate albedo,
+    # nudge2D deltaT) carry their state across the rebuild via trilinear
+    # remap instead of re-initialising (the reference remaps every
+    # component's state on mesh update, UFEMISM_main_model.f90:1311-1335)
+    def _remap_tri(arr):
+        a = np.asarray(arr)
+        return jnp.asarray(M_tri_a @ a, dtype=arr.dtype)
+
+    for new_r, old_r in zip((region.run_climate, region.run_ocean,
+                             region.run_smb), old_runners):
+        if (hasattr(new_r, "carry_state_from")
+                and type(new_r) is type(old_r)):
+            new_r.carry_state_from(old_r, _remap_tri)
+
+    # bed-roughness nudging: the nudged parameter was remapped with the
+    # ice state (fields registry row 'bed_roughness'); re-point the
+    # region-held inversion state at it and rebuild the nudge step's
+    # mesh-sized closures
+    from ..models.bed_roughness import (BedRoughnessState,
+                                        make_run_bed_roughness_nudging)
+    region.bed_roughness_state = BedRoughnessState(
+        generic=region.state.bed_roughness)
+    if getattr(region, "do_nudging", False):
+        region._nudge_step = make_run_bed_roughness_nudging(C, region.md)
+
+    # Salle2025 transient hydrology: remap till/sheet water + pressure
+    # and re-register the effective-pressure extras slot on the new md
+    # (basal_hydrology_new.f90:1449-1491 remaps these on mesh update)
+    if C.choice_basal_hydrology_model == "Salle2025":
+        from ..core.ice.hydrology_salle2025 import Salle2025State
+        from ..core.mesh_data import EField
+        from ..utils.constants import ice_density as _rho_i, grav as _g
+        hs = region.hydro_state
+        region.hydro_state = Salle2025State(
+            W=jnp.maximum(0.0, _remap_tri(hs.W)),
+            W_til=jnp.maximum(0.0, _remap_tri(hs.W_til)),
+            P=_remap_tri(hs.P))
+        old_slot = old_md_extras.get("hydro_N_eff")
+        N_eff = (_remap_tri(old_slot.arr) if old_slot is not None
+                 else _rho_i * _g * region.state.Hi)
+        region.md.extras["hydro_N_eff"] = EField(N_eff, "V")
+
+    # Lagrangian tracers: particles live in physical coordinates and
+    # carry over unchanged; the point-location tables and stepper
+    # closures are mesh-sized and must be rebuilt
+    if C.choice_tracer_tracking_model == "particles":
+        from ..models.tracers import PointLocator, make_tracer_stepper
+        loc = PointLocator(region.mesh)
+        (region._tracer_init, region._tracer_step,
+         region._tracer_spawn, region._tracer_to_mesh) = \
+            make_tracer_stepper(C, region.md, loc)
+        ts = region.tracer_state
+        region.tracer_state = ts._replace(
+            x=ts.x.astype(region.md.A.dtype),
+            y=ts.y.astype(region.md.A.dtype))
     if region.do_thermo:
         from ..core.ice.thermodynamics import (make_heat_solver,
                                                make_geothermal_flux,
@@ -804,9 +862,13 @@ def _region_update_mesh(region):
     # the fused component dispatch captured the OLD mesh's closures
     region._build_component_dispatch()
 
-    # refresh component forcings + reset their clocks to now
+    # refresh component forcings inline (the reference instead resets
+    # every component t_next to now, UFEMISM_main_model.f90:1326-1335;
+    # refreshing here is equivalent without double-advancing the
+    # stateful runners' carried history)
     t = region.time
     region.climate = region.run_climate(t, region.state)
+    region._T_surf = region.climate["T2m"].mean(axis=1)
     region.ocean = region.run_ocean(t, region.state)
     region.SMB = region.run_smb(t, region.state, climate=region.climate)
     from ..core.ice.masks import determine_masks

@@ -228,6 +228,17 @@ class MatrixClimate:
         self.w_CO2vsice = getattr(C,
                                   f"climate_matrix_CO2vsice_{region_name}")
 
+    def carry_state_from(self, old, remap):
+        """Transfer the carried albedo/firn state and the last applied
+        climate across a mesh update (`remap`: [nV_old(,k)] ->
+        [nV_new(,k)]); the reference remaps climate-model state on mesh
+        update (UFEMISM_main_model.f90:1311-1323)."""
+        self._firn = remap(old._firn)
+        self._melt_yr = remap(old._melt_yr)
+        self._albedo = remap(old._albedo)
+        self._T2m = remap(old._T2m)
+        self._Precip = remap(old._Precip)
+
     def __call__(self, time, s=None):
         from ..core.ice.masks import determine_masks
         C, md = self.C, self.md

@@ -51,8 +51,16 @@ def make_run_gia(C, md, region_name: str, mesh):
         ky = 2 * np.pi * np.fft.rfftfreq(ny, dx)
         KX, KY = np.meshgrid(kx, ky, indexing="ij")
         k4 = (KX ** 2 + KY ** 2) ** 2
+        # FFT precision follows the run precision: downcast to f32 only
+        # in the f32 perf mode (or when complex128 is unavailable, i.e.
+        # x64 is off) - double-precision CPU runs keep f64 deformation.
+        import jax as _jax
+        fft_dtype = (jnp.float32
+                     if (C.tpu_precision == "f32"
+                         or not _jax.config.jax_enable_x64)
+                     else jnp.float64)
         denom = jnp.asarray(C.ELRA_mantle_density * grav + D_flex * k4,
-                            jnp.float32)
+                            fft_dtype)
 
         def surface_load(Hi, Hb, SL, TAF):
             return jnp.where(TAF > 0, ice_density * Hi,
@@ -73,7 +81,7 @@ def make_run_gia(C, md, region_name: str, mesh):
 
         def run(time, s, dt):
             load_m = surface_load(s.Hi, s.Hb + s.dHb, s.SL, s.TAF)
-            load = (load_m - load_ref_m)[g2m].astype(jnp.float32)
+            load = (load_m - load_ref_m)[g2m].astype(fft_dtype)
             w_eq_hat = -grav * jnp.fft.rfft2(load) / denom
             w_eq = jnp.fft.irfft2(w_eq_hat, s=(nx, ny))
             dHb_eq_m = w_eq.ravel()[m2g].astype(s.dHb.dtype)

@@ -306,6 +306,13 @@ class _OceanNudge2D:
         self.t_start = C.BMB_inversion_t_start
         self.t_end = C.BMB_inversion_t_end
 
+    def carry_state_from(self, old, remap):
+        """Transfer the nudged deltaT inversion state across a mesh
+        update instead of resetting it to zero."""
+        self.deltaT = jnp.clip(remap(old.deltaT), -self.DT_MAX,
+                               self.DT_MAX)
+        self._t_prev = old._t_prev
+
     def __call__(self, time, s):
         t = float(time) if not hasattr(time, "aval") else None
         # nudging only inside the inversion window; outside, apply the

@@ -272,6 +272,14 @@ class ImauItmSMB:
         self.MeltPreviousYear = jnp.zeros(nV, dtype)
         self.Albedo = jnp.full((nV, 12), self.p["albedo_snow"], dtype)
 
+    def carry_state_from(self, old, remap):
+        """Transfer the firn/melt/albedo state across a mesh update
+        (remap_SMB_model_IMAU_ITM in the reference): `remap` maps
+        [nV_old(,k)] -> [nV_new(,k)]."""
+        self.FirnDepth = remap(old.FirnDepth)
+        self.MeltPreviousYear = remap(old.MeltPreviousYear)
+        self.Albedo = remap(old.Albedo)
+
     def __call__(self, time, s=None, climate=None):
         if climate is None:
             raise ValueError("IMAU-ITM requires a climate model")

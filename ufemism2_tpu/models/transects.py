@@ -193,9 +193,11 @@ class TransectOutputFile:
         self.nc.append("calving_front_distance_from_end",
                        tr.zero_crossing_distance(hi_t - 0.1,
                                                  from_end=True))
-        # vertically averaged mass flux across the transect [kg/yr]
+        # vertically averaged mass flux across the transect [kg/yr];
+        # trapezoidal over zeta so irregular vertical grids are weighted
+        # by layer thickness (plain mean is only right for uniform zeta)
         from ..utils.constants import ice_density
-        u_vav_ort = u_ort.mean(axis=1)
+        u_vav_ort = np.trapz(u_ort, np.asarray(tr.zeta), axis=1)
         ds = np.gradient(tr.s)
         self.nc.append("ice_mass_flux",
                        float((u_vav_ort * hi_t * ds).sum() * ice_density))
