@@ -253,14 +253,19 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
             # numerically equivalent to MGS in practice, maps onto the MXU
             w = Mf(Af(Vm[j]))
             mask = idx <= j
-            h1 = jnp.where(mask, comm.gsum(Vm @ w), 0.0)
-            w = w - h1 @ Vm
-            h2 = jnp.where(mask, comm.gsum(Vm @ w), 0.0)
-            w = w - h2 @ Vm
+            # exact-f32 products: TPU's default bf16 matmul noise
+            # (~4e-3) on the orthogonalisation directly degrades the
+            # Krylov basis and inflates iteration counts; these are
+            # BW-bound so multi-pass f32 is free
+            hp = jax.lax.Precision.HIGHEST
+            h1 = jnp.where(mask, comm.gsum(jnp.matmul(Vm, w, precision=hp)), 0.0)
+            w = w - jnp.matmul(h1, Vm, precision=hp)
+            h2 = jnp.where(mask, comm.gsum(jnp.matmul(Vm, w, precision=hp)), 0.0)
+            w = w - jnp.matmul(h2, Vm, precision=hp)
             hj1 = comm.norm(w)
             Vm = Vm.at[j + 1].set(w / jnp.where(hj1 < tiny, one, hj1))
             h = (h1 + h2).at[j + 1].set(hj1)     # new Hessenberg column
-            hr = G @ h                            # prior rotations applied
+            hr = jnp.matmul(G, h, precision=jax.lax.Precision.HIGHEST)
             # new Givens rotation zeroing hr[j+1] against hr[j]
             a, bb = hr[j], hr[j + 1]
             rho = jnp.sqrt(a * a + bb * bb)
@@ -289,7 +294,8 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
         g = beta * out.G[:m, 0]
         g = jnp.where(colf, g, 0.0)
         y = jax.scipy.linalg.solve_triangular(Rs, g, lower=False)
-        x_new = x + y @ out.Vm[:m]
+        x_new = x + jnp.matmul(y, out.Vm[:m],
+                               precision=jax.lax.Precision.HIGHEST)
         rnorm = comm.norm(Mf(bf - Af(x_new)))
         return x_new, rnorm, jf + 2   # jf matvecs + initial r + final check
 

@@ -148,10 +148,12 @@ def tiled_spmv(M: TiledEllMatrix, x):
     xg = _gather_tiles(M.tile_ids, x, M.n_cols)
     if x.ndim == 1:
         y = jnp.einsum("brtw,btw->br", M.coef, xg,
-                       preferred_element_type=x.dtype)
+                       preferred_element_type=x.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         return y.reshape(-1)[: M.n_rows]
     y = jnp.einsum("brtw,btwd->brd", M.coef, xg,
-                   preferred_element_type=x.dtype)
+                   preferred_element_type=x.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     return y.reshape(-1, x.shape[1])[: M.n_rows]
 
 
@@ -176,8 +178,27 @@ def _tiled_structure(rows, cols, n_rows, R):
     return nB, T, tile_ids, tslot
 
 
+def _expand_coef_on_device(flat_idx, vals, shape, dtype):
+    """Scatter-add COO entries into the dense coefficient slab ON DEVICE.
+
+    The slabs are ~97% structural zeros; shipping only the nnz-sized
+    (index, value) arrays and expanding with one device scatter turns a
+    multi-hundred-MB host->device transfer (the dominant cost of model
+    init and of every remesh event through a remote-device tunnel) into
+    a few-MB one. vals may be [nnz] or [n_ops, nnz] (shared pattern).
+    """
+    n_flat = int(np.prod(shape))
+    idx = jnp.asarray(flat_idx, jnp.int32)
+    v = jnp.asarray(vals, dtype)
+    if v.ndim == 1:
+        return jnp.zeros(n_flat, dtype).at[idx].add(v).reshape(shape)
+    out = jnp.zeros((v.shape[0], n_flat), dtype).at[:, idx].add(v)
+    return out.reshape((v.shape[0],) + tuple(shape))
+
+
 def tiled_from_csr(A: sp.spmatrix, R: int = 8, dtype=None) -> TiledEllMatrix:
-    """Build the tile-blocked form from scipy CSR (host-side, vectorised)."""
+    """Build the tile-blocked form from scipy CSR (host-side structure,
+    device-side slab expansion)."""
     A = A.tocsr()
     A.sum_duplicates()
     n_rows, n_cols = A.shape
@@ -186,10 +207,9 @@ def tiled_from_csr(A: sp.spmatrix, R: int = 8, dtype=None) -> TiledEllMatrix:
     Ac = A.tocoo()
     rows, cols, data = Ac.row.astype(np.int64), Ac.col.astype(np.int64), Ac.data
     nB, T, tile_ids, tslot = _tiled_structure(rows, cols, n_rows, R)
-    coef = np.zeros((nB, R, T, 128), dtype=np.float64)
-    np.add.at(coef, (rows // R, rows % R, tslot, cols % 128), data)
-    return TiledEllMatrix(jnp.asarray(tile_ids),
-                          jnp.asarray(coef, dtype=dtype), n_rows, n_cols)
+    flat = ((rows // R) * R + rows % R) * (T * 128) + tslot * 128 + cols % 128
+    coef = _expand_coef_on_device(flat, data, (nB, R, T, 128), dtype)
+    return TiledEllMatrix(jnp.asarray(tile_ids), coef, n_rows, n_cols)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -213,10 +233,12 @@ class TiledEllStack:
         xg = _gather_tiles(self.tile_ids, x, self.n_cols)
         if x.ndim == 1:
             y = jnp.einsum("obrtw,btw->obr", self.coef, xg,
-                           preferred_element_type=x.dtype)
+                           preferred_element_type=x.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
             return y.reshape(self.coef.shape[0], -1)[:, : self.n_rows]
         y = jnp.einsum("obrtw,btwd->obrd", self.coef, xg,
-                       preferred_element_type=x.dtype)
+                       preferred_element_type=x.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         return y.reshape(self.coef.shape[0], -1,
                          x.shape[1])[:, : self.n_rows]
 
@@ -239,20 +261,21 @@ def tiled_stack_from_csr(mats, R: int = 8, dtype=None) -> TiledEllStack:
         U = U + m
     Uc = (U != 0).tocoo()
     rows, cols = Uc.row.astype(np.int64), Uc.col.astype(np.int64)
-    nB, T, tile_ids, _ = _tiled_structure(rows, cols, n_rows, R)
-    coef = np.zeros((len(mats), nB, R, T, 128), dtype=np.float64)
+    nB, T, tile_ids, tslot = _tiled_structure(rows, cols, n_rows, R)
+    # all ops share the union pattern: one [n_ops, nnz_union] value table
+    # expanded by one device scatter (see _expand_coef_on_device)
+    flat = (rows * (T * 128) + tslot * 128 + cols % 128)
+    key = rows * n_cols + cols
+    order = np.argsort(key)
+    key_sorted = key[order]
+    vals = np.zeros((len(mats), len(rows)))
     for oi, m in enumerate(mats):
         mc = m.tocoo()
-        r, c, d = mc.row.astype(np.int64), mc.col.astype(np.int64), mc.data
-        # recompute slots against the union structure
-        tile_of = c // 128
-        # find slot: search tile in tile_ids[b]
-        b = r // R
-        row_tiles = tile_ids[b]                      # [nnz, T]
-        slot = np.argmax(row_tiles == tile_of[:, None], axis=1)
-        np.add.at(coef, (oi, b, r % R, slot, c % 128), d)
-    return TiledEllStack(jnp.asarray(tile_ids),
-                         jnp.asarray(coef, dtype=dtype), n_rows, n_cols)
+        mk = mc.row.astype(np.int64) * n_cols + mc.col.astype(np.int64)
+        pos = order[np.searchsorted(key_sorted, mk)]
+        np.add.at(vals[oi], pos, mc.data)
+    coef = _expand_coef_on_device(flat, vals, (nB, R, T, 128), dtype)
+    return TiledEllStack(jnp.asarray(tile_ids), coef, n_rows, n_cols)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -290,7 +313,8 @@ class GroupedTiledEllStack:
         for tid, coef in zip(self.tile_ids, self.coef):
             xg = xt[tid]                        # [nBg, Tg, 128, d]
             y = jnp.einsum("obrtw,btwd->obrd", coef, xg,
-                           preferred_element_type=x.dtype)
+                           preferred_element_type=x.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
             outs.append(y.reshape(coef.shape[0], -1, d))
         yall = jnp.concatenate(outs, axis=1)[:, self.inv_rows]
         return yall[..., 0] if vec else yall
