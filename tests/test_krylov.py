@@ -103,3 +103,43 @@ def test_bicgstab_identity_exact_halfstep():
     assert bool(jnp.isfinite(res.x).all())
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(b), rtol=1e-12)
+
+
+def test_polynomial_preconditioners_accelerate_gmres():
+    """Chebyshev/Neumann polynomial preconditioners over a Jacobi base
+    must (a) approximate A^-1 better with rising degree and (b) cut GMRES
+    iteration counts on an ill-conditioned SPD system."""
+    import jax.numpy as jnp
+    from ufemism2_tpu.ops.krylov import (
+        gmres, estimate_lambda_max, make_chebyshev_preconditioner,
+        make_neumann_preconditioner)
+    rng = np.random.default_rng(7)
+    n = 300
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.linspace(0.02, 2.0, n)          # kappa = 100
+    Amat = jnp.asarray((Q * lam) @ Q.T)
+    A = lambda v: Amat @ v
+    M = lambda v: v
+    b = jnp.asarray(rng.standard_normal(n))
+
+    lmax = estimate_lambda_max(A, b, 20)
+    assert abs(float(lmax) - 2.0) < 0.2
+
+    xex = np.linalg.solve(np.asarray(Amat), np.asarray(b))
+    errs = []
+    for deg in (1, 3, 6):
+        Mc = make_chebyshev_preconditioner(A, M, deg, lmax, lam_ratio=100.0)
+        errs.append(np.linalg.norm(np.asarray(Mc(b)) - xex))
+    assert errs[2] < errs[1] < errs[0]
+
+    base = gmres(A, b, rtol=1e-8, abstol=0.0, restart=40)
+    cheb = gmres(A, b, M=make_chebyshev_preconditioner(A, M, 5, lmax),
+                 rtol=1e-8, abstol=0.0, restart=40)
+    neu = gmres(A, b, M=make_neumann_preconditioner(A, M, 3),
+                rtol=1e-8, abstol=0.0, restart=40)
+    assert bool(cheb.converged) and bool(neu.converged)
+    assert int(cheb.n_iter) < int(base.n_iter) / 2
+    np.testing.assert_allclose(np.asarray(cheb.x), xex, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(neu.x), xex, rtol=1e-5,
+                               atol=1e-6)

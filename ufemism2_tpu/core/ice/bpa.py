@@ -27,7 +27,9 @@ import numpy as np
 
 from ..mesh_data import MeshData
 from ...utils.constants import ice_density, grav
-from ...ops.krylov import gmres
+from ...ops.krylov import (gmres, estimate_lambda_max,
+                           make_chebyshev_preconditioner,
+                           make_neumann_preconditioner)
 from .masks import determine_masks
 from .rheology import calc_ice_rheology_glen
 from .subgrid import (calc_grounded_fractions_bilin_TAF,
@@ -53,6 +55,9 @@ class _BPACarry(NamedTuple):
 
 def make_solve_bpa(C, md: MeshData, bedrock_cdfs=None):
     """Build solve(Hi, Hs, Hb, SL, Ti, s) for the BPA."""
+    precond_kind = getattr(C, "tpu_stress_balance_precond", "chebyshev")
+    precond_deg = int(getattr(C, "tpu_stress_balance_precond_degree", 5))
+    krylov_restart = int(getattr(C, "tpu_stress_balance_krylov_restart", 60))
     n_glen = C.Glens_flow_law_exponent
     no_sliding = C.choice_sliding_law == "no_sliding"
     mesh = md._host_mesh
@@ -288,9 +293,23 @@ def make_solve_bpa(C, md: MeshData, bedrock_cdfs=None):
             rtol = C.stress_balance_PETSc_rtol
             if b_u.dtype == jnp.float32:   # f32 precision floor
                 rtol = max(rtol, 1e-5)
-            res = gmres(A_op, (b_u, b_v), x0=(c.u, c.v), M=M_pre,
+            # polynomial acceleration over the diagonal base (see
+            # ssadiva.py: replaces the ILU-class robustness of the
+            # reference's PETSc configuration with a TPU-vectorisable
+            # fixed-degree Chebyshev/Neumann polynomial)
+            if precond_kind == "chebyshev":
+                lam = estimate_lambda_max(
+                    lambda w: M_pre(A_op(w)), (b_u, b_v), n_its=10)
+                Mp = make_chebyshev_preconditioner(A_op, M_pre,
+                                                   precond_deg, lam)
+            elif precond_kind == "neumann":
+                Mp = make_neumann_preconditioner(A_op, M_pre, precond_deg)
+            else:
+                Mp = M_pre
+            res = gmres(A_op, (b_u, b_v), x0=(c.u, c.v), M=Mp,
                         rtol=rtol,
-                        abstol=C.stress_balance_PETSc_abstol)
+                        abstol=C.stress_balance_PETSc_abstol,
+                        restart=krylov_restart)
             u_new, v_new = res.x
 
             speed = jnp.sqrt(u_new ** 2 + v_new ** 2)

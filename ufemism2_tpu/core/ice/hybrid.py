@@ -38,7 +38,9 @@ import numpy as np
 from ..mesh_data import MeshData
 from ...utils.constants import ice_density, grav
 from ...mesh.zeta import integrate_from_base_up, vertical_average
-from ...ops.krylov import gmres
+from ...ops.krylov import (gmres, estimate_lambda_max,
+                           make_chebyshev_preconditioner,
+                           make_neumann_preconditioner)
 from .masks import determine_masks
 from .rheology import calc_ice_rheology_glen
 from .subgrid import calc_grounded_fractions, calc_effective_thickness
@@ -108,6 +110,9 @@ def _dilate(mask: np.ndarray, TriC: np.ndarray, n: int) -> np.ndarray:
 def make_solve_hybrid(C, md: MeshData, mask_BPA_b: np.ndarray,
                       bedrock_cdfs=None):
     """Build solve(md, Hi, Hs, Hb, SL, Ti, s) for the hybrid DIVA/BPA."""
+    precond_kind = getattr(C, "tpu_stress_balance_precond", "chebyshev")
+    precond_deg = int(getattr(C, "tpu_stress_balance_precond_degree", 5))
+    krylov_restart = int(getattr(C, "tpu_stress_balance_krylov_restart", 60))
     n_glen = C.Glens_flow_law_exponent
     no_sliding = C.choice_sliding_law == "no_sliding"
     mesh = md._host_mesh
@@ -495,9 +500,22 @@ def make_solve_hybrid(C, md: MeshData, mask_BPA_b: np.ndarray,
             rtol = C.stress_balance_PETSc_rtol
             if dtype == jnp.float32:
                 rtol = max(rtol, 1e-5)
-            res = gmres(A_op, (b_u, b_v, b_u3, b_v3),
-                        x0=(c.u, c.v, c.u3, c.v3), M=M_pre, rtol=rtol,
-                        abstol=C.stress_balance_PETSc_abstol)
+            # polynomial acceleration over the block-diagonal base (see
+            # ssadiva.py for rationale/measurements)
+            b_all = (b_u, b_v, b_u3, b_v3)
+            if precond_kind == "chebyshev":
+                lam = estimate_lambda_max(
+                    lambda w: M_pre(A_op(w)), b_all, n_its=10)
+                Mp = make_chebyshev_preconditioner(A_op, M_pre,
+                                                   precond_deg, lam)
+            elif precond_kind == "neumann":
+                Mp = make_neumann_preconditioner(A_op, M_pre, precond_deg)
+            else:
+                Mp = M_pre
+            res = gmres(A_op, b_all,
+                        x0=(c.u, c.v, c.u3, c.v3), M=Mp, rtol=rtol,
+                        abstol=C.stress_balance_PETSc_abstol,
+                        restart=krylov_restart)
             u_new, v_new, u3_new, v3_new = res.x
 
             # limits + relaxation

@@ -29,7 +29,9 @@ from ..mesh_data import MeshData, EField, EIndex
 from ...parallel import comm
 from ...utils.constants import ice_density, grav, seawater_density
 from ...mesh.zeta import integrate_from_base_up, vertical_average
-from ...ops.krylov import bicgstab, gmres
+from ...ops.krylov import (bicgstab, gmres, estimate_lambda_max,
+                           make_chebyshev_preconditioner,
+                           make_neumann_preconditioner)
 from .masks import determine_masks
 from .rheology import calc_ice_rheology_glen
 from .subgrid import (calc_grounded_fractions_bilin_TAF,
@@ -151,6 +153,121 @@ def make_bc_data(C, mesh) -> _BCData:
 
 
 # ---------------------------------------------------------------------------
+# The linearised momentum operator + preconditioners (module level so
+# solver experiments and alternative preconditioners can target the real
+# operator; used by the viscosity iteration below)
+# ---------------------------------------------------------------------------
+
+def nbr_mean_residual(md, x, n_nbr):
+    """sum(x[nbrs]) - n*x (the 'infinite' BC row)."""
+    s = jnp.where(md.mask_TriC, md.ext_Tri(x)[md.TriC], 0.0).sum(axis=1)
+    return s - n_nbr * x
+
+
+def make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
+    """The matrix-free linearised SSA/DIVA momentum operator
+    (solve_linearised_SSA_DIVA_infinite_slab.f90 rows, applied as 10
+    fused ELL SpMVs + elementwise scaling)."""
+    bc_free = md.x("ssa_bc_free")
+    bc_inf_u = md.x("ssa_bc_inf_u")
+    bc_inf_v = md.x("ssa_bc_inf_v")
+    n_nbr = md.mask_TriC.sum(axis=1).astype(N_b.dtype)
+    M2x, M2y = md.M2_ddx_b_b, md.M2_ddy_b_b
+    Mxx, Mxy, Myy = md.M2_d2dx2_b_b, md.M2_d2dxdy_b_b, md.M2_d2dy2_b_b
+
+    def derivs(f):
+        if md.M2_stack is not None:
+            d = md.M2_stack.apply(f)
+            return d[0], d[1], d[2], d[3], d[4]
+        return M2x @ f, M2y @ f, Mxx @ f, Mxy @ f, Myy @ f
+
+    def A(uv):
+        u, v = uv
+        if md.M2_stack is not None:
+            # ONE gather + ONE contraction for all 10 derivative
+            # fields: u and v ride the trailing axis of the stacked
+            # input (and share one halo exchange on multi-chip)
+            d = md.M2_stack.apply(jnp.stack([u, v], axis=-1))
+            ddx_u, ddy_u, dxx_u, dxy_u, dyy_u = (
+                d[i][:, 0] for i in range(5))
+            ddx_v, ddy_v, dxx_v, dxy_v, dyy_v = (
+                d[i][:, 1] for i in range(5))
+        else:
+            ddx_u, ddy_u, dxx_u, dxy_u, dyy_u = derivs(u)
+            ddx_v, ddy_v, dxx_v, dxy_v, dyy_v = derivs(v)
+
+        Au = (4 * N_b * dxx_u + 4 * dN_dx_b * ddx_u
+              + N_b * dyy_u + dN_dy_b * ddy_u - beta_eff_b * u
+              + 3 * N_b * dxy_v + 2 * dN_dx_b * ddy_v + dN_dy_b * ddx_v)
+        Av = (4 * N_b * dyy_v + 4 * dN_dy_b * ddy_v
+              + N_b * dxx_v + dN_dx_b * ddx_v - beta_eff_b * v
+              + 3 * N_b * dxy_u + 2 * dN_dy_b * ddx_u + dN_dx_b * ddy_u)
+
+        # BC rows: zero/fixed -> identity; infinite -> neighbour mean
+        Au = jnp.where(bc_free, Au, jnp.where(
+            bc_inf_u, nbr_mean_residual(md, u, n_nbr), u))
+        Av = jnp.where(bc_free, Av, jnp.where(
+            bc_inf_v, nbr_mean_residual(md, v, n_nbr), v))
+        if front is not None:
+            # ocean-pressure variant: Neumann ocean-back-pressure rows
+            # at the calving front, identity rows off the ice
+            # (solve_linearised_SSA_DIVA_ocean_pressure.f90:445-560:
+            #  4 N n_x du/dx + N n_y du/dy + 2 N n_x dv/dy
+            #    + N n_y dv/dx = tau_ox , and x<->y for v)
+            is_front, off, n_x, n_y = front
+            Au_f = (4 * N_b * n_x * ddx_u + N_b * n_y * ddy_u
+                    + 2 * N_b * n_x * ddy_v + N_b * n_y * ddx_v)
+            Av_f = (4 * N_b * n_y * ddy_v + N_b * n_x * ddx_v
+                    + 2 * N_b * n_y * ddx_u + N_b * n_x * ddy_u)
+            Au = jnp.where(off, u, jnp.where(is_front, Au_f, Au))
+            Av = jnp.where(off, v, jnp.where(is_front, Av_f, Av))
+        return (Au, Av)
+    return A
+
+
+def make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
+    """2x2 block-Jacobi: invert the per-triangle (u,v) diagonal block."""
+    bc_free = md.x("ssa_bc_free")
+    bc_inf_u = md.x("ssa_bc_inf_u")
+    bc_inf_v = md.x("ssa_bc_inf_v")
+    n_nbr = md.mask_TriC.sum(axis=1).astype(N_b.dtype)
+    d_ddx = md.x("ssa_d_ddx")
+    d_ddy = md.x("ssa_d_ddy")
+    d_dxx = md.x("ssa_d_dxx")
+    d_dxy = md.x("ssa_d_dxy")
+    d_dyy = md.x("ssa_d_dyy")
+    auu = (4 * N_b * d_dxx + 4 * dN_dx_b * d_ddx
+           + N_b * d_dyy + dN_dy_b * d_ddy - beta_eff_b)
+    auv = 3 * N_b * d_dxy + 2 * dN_dx_b * d_ddy + dN_dy_b * d_ddx
+    avu = 3 * N_b * d_dxy + 2 * dN_dy_b * d_ddx + dN_dx_b * d_ddy
+    avv = (4 * N_b * d_dyy + 4 * dN_dy_b * d_ddy
+           + N_b * d_dxx + dN_dx_b * d_ddx - beta_eff_b)
+    # BC rows: diagonal is 1 (zero/periodic) or -n (infinite)
+    auu = jnp.where(bc_free, auu, jnp.where(bc_inf_u, -n_nbr, 1.0))
+    avv = jnp.where(bc_free, avv, jnp.where(bc_inf_v, -n_nbr, 1.0))
+    auv = jnp.where(bc_free, auv, 0.0)
+    avu = jnp.where(bc_free, avu, 0.0)
+    if front is not None:
+        is_front, off, n_x, n_y = front
+        auu_f = 4 * N_b * n_x * d_ddx + N_b * n_y * d_ddy
+        avv_f = 4 * N_b * n_y * d_ddy + N_b * n_x * d_ddx
+        auv_f = 2 * N_b * n_x * d_ddy + N_b * n_y * d_ddx
+        avu_f = 2 * N_b * n_y * d_ddx + N_b * n_x * d_ddy
+        auu = jnp.where(off, 1.0, jnp.where(is_front, auu_f, auu))
+        avv = jnp.where(off, 1.0, jnp.where(is_front, avv_f, avv))
+        auv = jnp.where(off, 0.0, jnp.where(is_front, auv_f, auv))
+        avu = jnp.where(off, 0.0, jnp.where(is_front, avu_f, avu))
+    det = auu * avv - auv * avu
+    det = jnp.where(jnp.abs(det) < 1e-300, 1e-300, det)
+
+    def M(r):
+        ru, rv = r
+        return ((avv * ru - auv * rv) / det,
+                (-avu * ru + auu * rv) / det)
+    return M
+
+
+# ---------------------------------------------------------------------------
 # The solver factory
 # ---------------------------------------------------------------------------
 
@@ -217,6 +334,9 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
     """
     is_diva = choice == "DIVA"
     with_sia = choice == "SIA/SSA"
+    precond_kind = getattr(C, "tpu_stress_balance_precond", "chebyshev")
+    precond_deg = int(getattr(C, "tpu_stress_balance_precond_degree", 5))
+    krylov_restart = int(getattr(C, "tpu_stress_balance_krylov_restart", 60))
     ocean_pressure = getattr(C, "BC_ice_front", "infinite_slab") \
         == "ocean_pressure"
     n_glen = C.Glens_flow_law_exponent
@@ -226,109 +346,6 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
     has_fix = md.ssa_has_fix
     from .subgrid import register_bedrock_cdfs
     register_bedrock_cdfs(md, bedrock_cdfs)
-
-    def nbr_mean_residual(md, x, n_nbr):
-        """sum(x[nbrs]) - n*x (the 'infinite' BC row)."""
-        s = jnp.where(md.mask_TriC, md.ext_Tri(x)[md.TriC], 0.0).sum(axis=1)
-        return s - n_nbr * x
-
-    def make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
-        bc_free = md.x("ssa_bc_free")
-        bc_inf_u = md.x("ssa_bc_inf_u")
-        bc_inf_v = md.x("ssa_bc_inf_v")
-        n_nbr = md.mask_TriC.sum(axis=1).astype(N_b.dtype)
-        M2x, M2y = md.M2_ddx_b_b, md.M2_ddy_b_b
-        Mxx, Mxy, Myy = md.M2_d2dx2_b_b, md.M2_d2dxdy_b_b, md.M2_d2dy2_b_b
-
-        def derivs(f):
-            if md.M2_stack is not None:
-                d = md.M2_stack.apply(f)
-                return d[0], d[1], d[2], d[3], d[4]
-            return M2x @ f, M2y @ f, Mxx @ f, Mxy @ f, Myy @ f
-
-        def A(uv):
-            u, v = uv
-            if md.M2_stack is not None:
-                # ONE gather + ONE contraction for all 10 derivative
-                # fields: u and v ride the trailing axis of the stacked
-                # input (and share one halo exchange on multi-chip)
-                d = md.M2_stack.apply(jnp.stack([u, v], axis=-1))
-                ddx_u, ddy_u, dxx_u, dxy_u, dyy_u = (
-                    d[i][:, 0] for i in range(5))
-                ddx_v, ddy_v, dxx_v, dxy_v, dyy_v = (
-                    d[i][:, 1] for i in range(5))
-            else:
-                ddx_u, ddy_u, dxx_u, dxy_u, dyy_u = derivs(u)
-                ddx_v, ddy_v, dxx_v, dxy_v, dyy_v = derivs(v)
-
-            Au = (4 * N_b * dxx_u + 4 * dN_dx_b * ddx_u
-                  + N_b * dyy_u + dN_dy_b * ddy_u - beta_eff_b * u
-                  + 3 * N_b * dxy_v + 2 * dN_dx_b * ddy_v + dN_dy_b * ddx_v)
-            Av = (4 * N_b * dyy_v + 4 * dN_dy_b * ddy_v
-                  + N_b * dxx_v + dN_dx_b * ddx_v - beta_eff_b * v
-                  + 3 * N_b * dxy_u + 2 * dN_dy_b * ddx_u + dN_dx_b * ddy_u)
-
-            # BC rows: zero/fixed -> identity; infinite -> neighbour mean
-            Au = jnp.where(bc_free, Au, jnp.where(
-                bc_inf_u, nbr_mean_residual(md, u, n_nbr), u))
-            Av = jnp.where(bc_free, Av, jnp.where(
-                bc_inf_v, nbr_mean_residual(md, v, n_nbr), v))
-            if front is not None:
-                # ocean-pressure variant: Neumann ocean-back-pressure rows
-                # at the calving front, identity rows off the ice
-                # (solve_linearised_SSA_DIVA_ocean_pressure.f90:445-560:
-                #  4 N n_x du/dx + N n_y du/dy + 2 N n_x dv/dy
-                #    + N n_y dv/dx = tau_ox , and x<->y for v)
-                is_front, off, n_x, n_y = front
-                Au_f = (4 * N_b * n_x * ddx_u + N_b * n_y * ddy_u
-                        + 2 * N_b * n_x * ddy_v + N_b * n_y * ddx_v)
-                Av_f = (4 * N_b * n_y * ddy_v + N_b * n_x * ddx_v
-                        + 2 * N_b * n_y * ddx_u + N_b * n_x * ddy_u)
-                Au = jnp.where(off, u, jnp.where(is_front, Au_f, Au))
-                Av = jnp.where(off, v, jnp.where(is_front, Av_f, Av))
-            return (Au, Av)
-        return A
-
-    def make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
-        """2x2 block-Jacobi: invert the per-triangle (u,v) diagonal block."""
-        bc_free = md.x("ssa_bc_free")
-        bc_inf_u = md.x("ssa_bc_inf_u")
-        bc_inf_v = md.x("ssa_bc_inf_v")
-        n_nbr = md.mask_TriC.sum(axis=1).astype(N_b.dtype)
-        d_ddx = md.x("ssa_d_ddx")
-        d_ddy = md.x("ssa_d_ddy")
-        d_dxx = md.x("ssa_d_dxx")
-        d_dxy = md.x("ssa_d_dxy")
-        d_dyy = md.x("ssa_d_dyy")
-        auu = (4 * N_b * d_dxx + 4 * dN_dx_b * d_ddx
-               + N_b * d_dyy + dN_dy_b * d_ddy - beta_eff_b)
-        auv = 3 * N_b * d_dxy + 2 * dN_dx_b * d_ddy + dN_dy_b * d_ddx
-        avu = 3 * N_b * d_dxy + 2 * dN_dy_b * d_ddx + dN_dx_b * d_ddy
-        avv = (4 * N_b * d_dyy + 4 * dN_dy_b * d_ddy
-               + N_b * d_dxx + dN_dx_b * d_ddx - beta_eff_b)
-        # BC rows: diagonal is 1 (zero/periodic) or -n (infinite)
-        auu = jnp.where(bc_free, auu, jnp.where(bc_inf_u, -n_nbr, 1.0))
-        avv = jnp.where(bc_free, avv, jnp.where(bc_inf_v, -n_nbr, 1.0))
-        auv = jnp.where(bc_free, auv, 0.0)
-        avu = jnp.where(bc_free, avu, 0.0)
-        if front is not None:
-            is_front, off, n_x, n_y = front
-            auu_f = 4 * N_b * n_x * d_ddx + N_b * n_y * d_ddy
-            avv_f = 4 * N_b * n_y * d_ddy + N_b * n_x * d_ddx
-            auv_f = 2 * N_b * n_x * d_ddy + N_b * n_y * d_ddx
-            avu_f = 2 * N_b * n_y * d_ddx + N_b * n_x * d_ddy
-            auu = jnp.where(off, 1.0, jnp.where(is_front, auu_f, auu))
-            avv = jnp.where(off, 1.0, jnp.where(is_front, avv_f, avv))
-            auv = jnp.where(off, 0.0, jnp.where(is_front, auv_f, auv))
-            avu = jnp.where(off, 0.0, jnp.where(is_front, avu_f, avu))
-        det = auu * avv - auv * avu
-        det = jnp.where(jnp.abs(det) < 1e-300, 1e-300, det)
-
-        def M(r):
-            ru, rv = r
-            return ((avv * ru - auv * rv) / det,
-                    (-avu * ru + auu * rv) / det)
-        return M
 
     def solve(md, Hi, Hs, Hb, SL, Ti, s):
         # md is the RUNTIME MeshData pytree (a jit argument,
@@ -465,7 +482,7 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
                 beta_eff_b = beta_eff_b * \
                     fraction_gr_b ** C.subgrid_friction_exponent_on_B_grid
 
-            # linear solve (matrix-free BiCGSTAB)
+            # linear solve (matrix-free GMRES)
             A = make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=front)
             M = make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b,
                              front=front)
@@ -494,9 +511,25 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
             rtol = C.stress_balance_PETSc_rtol
             if dtype == jnp.float32:
                 rtol = max(rtol, 1e-5)
-            res = gmres(A, (b_u, b_v), x0=(c.u, c.v), M=M,
+            # polynomial acceleration of the 2x2 block-Jacobi base: the
+            # membrane operator on shelf-dominated states (beta_eff -> 0)
+            # stagnates plain BJ-GMRES (measured 1000+ its/solve on the
+            # MISMIP+ slab); a degree-k Chebyshev over BJ cuts iteration
+            # counts ~5x for k A-applies per application. The reference
+            # gets equivalent robustness from PETSc's ILU class, which
+            # does not vectorise on TPU.
+            if precond_kind == "chebyshev":
+                lam = estimate_lambda_max(lambda w: M(A(w)), (b_u, b_v),
+                                          n_its=10)
+                Mp = make_chebyshev_preconditioner(A, M, precond_deg, lam)
+            elif precond_kind == "neumann":
+                Mp = make_neumann_preconditioner(A, M, precond_deg)
+            else:
+                Mp = M
+            res = gmres(A, (b_u, b_v), x0=(c.u, c.v), M=Mp,
                         rtol=rtol,
-                        abstol=C.stress_balance_PETSc_abstol)
+                        abstol=C.stress_balance_PETSc_abstol,
+                        restart=krylov_restart)
             u_new, v_new = res.x
 
             # velocity limits + relaxation

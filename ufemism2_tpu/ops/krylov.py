@@ -53,6 +53,81 @@ class KrylovResult(NamedTuple):
     res_norm: jnp.ndarray
 
 
+def estimate_lambda_max(B: Callable, v0, n_its: int = 10):
+    """Largest-magnitude eigenvalue of the linear operator B by power
+    iteration (pytree in/out). Used to set the Chebyshev interval for the
+    polynomial preconditioners; ~n_its operator applies, amortised over
+    the hundreds of applies they save."""
+    def body(i, carry):
+        v, lam = carry
+        w = B(v)
+        lam = jnp.sqrt(_dot(w, w))
+        v = _scale(1.0 / jnp.maximum(lam, 1e-30), w)
+        return (v, lam)
+    nrm0 = jnp.sqrt(_dot(v0, v0))
+    v0 = _scale(1.0 / jnp.maximum(nrm0, 1e-30), v0)
+    _, lam = jax.lax.fori_loop(0, n_its, body, (v0, jnp.ones_like(nrm0)))
+    return lam
+
+
+def make_chebyshev_preconditioner(A: Callable, M: Callable, degree: int,
+                                  lam_max, lam_ratio: float = 20.0):
+    """Chebyshev polynomial acceleration of a base preconditioner M.
+
+    Returns M_cheb(r) ~= A^-1 r built from `degree` applications of the
+    M-preconditioned operator B = M o A, optimal over the real interval
+    [lam_max/lam_ratio, 1.1*lam_max] (Golub & Varga semi-iteration; the
+    same smoother TPU-unfriendly AMG packages use, here as the whole
+    preconditioner: only A-applies and elementwise ops, no triangular
+    solves, so it maps onto the fused ELL SpMV path).
+
+    The reference gets the equivalent robustness from PETSc's ILU-class
+    preconditioners (petsc_basic.f90); sequential triangular solves do
+    not vectorise on TPU, a fixed-degree polynomial does.
+    """
+    lmax = 1.1 * lam_max
+    lmin = lam_max / lam_ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def B(v):
+        return M(A(v))
+
+    def Mc(r):
+        g = M(r)
+        z = _scale(1.0 / theta, g)
+        if degree == 1:
+            return z
+        rk = _sub(g, B(z))
+        dz = z
+        rho = 1.0 / sigma
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            dz = _add(_scale(rho_new * rho, dz),
+                      _scale(2.0 * rho_new / delta, rk))
+            z = _add(z, dz)
+            rk = _sub(rk, B(dz))
+            rho = rho_new
+        return z
+    return Mc
+
+
+def make_neumann_preconditioner(A: Callable, M: Callable, degree: int):
+    """Truncated Neumann series over a base preconditioner:
+    M_p = sum_{i<degree} (I - M A)^i M. Valid when rho(I - M A) < 1;
+    no spectrum estimate needed (fallback when Chebyshev's real-interval
+    assumption is doubtful)."""
+    def Mp(r):
+        z = M(r)
+        acc = z
+        for _ in range(degree - 1):
+            resid = _sub(r, A(acc))
+            acc = _add(acc, M(resid))
+        return acc
+    return Mp
+
+
 def bicgstab(A: Callable, b, x0=None, M: Callable = None,
              rtol=1e-7, abstol=1e-5, maxiter=MAXIT_DEFAULT) -> KrylovResult:
     """Preconditioned BiCGSTAB (right-preconditioned, PETSc-style norms)."""
