@@ -93,3 +93,27 @@ def test_sharded_multistep_stays_in_lockstep():
                                atol=1e-8 * max(float(np.max(np.abs(a))), 1.0))
     assert float(s1.t_Hi_next) == pytest.approx(float(s2.t_Hi_next),
                                                 rel=1e-12)
+
+
+def test_distributed_mode_run_to_matches_single_device():
+    """Distribution as a MODE: tpu_n_devices=8 makes ModelRegion.run_to
+    itself step sharded (parallel/dist.py ShardedModel.multistep); the
+    trajectory must match the single-device run. Thermo off: in
+    distributed mode it runs as an event rather than fused, which is a
+    legitimate cadence difference, not a parity subject."""
+    from ufemism2_tpu.main.region import ModelRegion
+    r1 = _small_region("DIVA", "semi-implicit")
+    C1 = r1.C.replace(choice_thermo_model="none")
+    r1 = ModelRegion(C1, "ANT")
+    r1.run_to(3.0)
+
+    C2 = C1.replace(tpu_n_devices=8)
+    r2 = ModelRegion(C2, "ANT")
+    assert r2._dist is not None, "distributed mode did not engage"
+    r2.run_to(3.0)
+
+    a = np.asarray(r1.state.Hi)
+    b = np.asarray(r2.state.Hi)
+    np.testing.assert_allclose(a, b, rtol=0,
+                               atol=1e-8 * max(float(np.max(np.abs(a))), 1.0))
+    assert r1.n_dt_ice == r2.n_dt_ice

@@ -84,3 +84,30 @@ def test_flux_scalars_in_output(tmp_path):
     assert abs(scal["gl_flux"]) < 1e-6
     # SMB on the Halfar dome is zero everywhere
     assert scal["SMB_total"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_nan_sanitizer_flags_poisoned_state():
+    """do_check_for_NaN equivalent: the sanitizer must name exactly the
+    poisoned IceState fields (SURVEY 5.2; reference crash('NaN in ...'))."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from ufemism2_tpu.utils.sanitizer import (check_state_for_nan,
+                                              NaNDetected)
+    from ufemism2_tpu.core.ice.state import init_ice_state
+    from ufemism2_tpu.core.mesh_data import build_mesh_data
+    from ufemism2_tpu.mesh.creation import build_uniform_mesh
+
+    mesh = build_uniform_mesh(0, 100e3, 0, 100e3, 25e3)
+    md = build_mesh_data(mesh)
+    nV = mesh.nV
+    s = init_ice_state(md, np.full(nV, 100.0), np.zeros(nV), np.zeros(nV),
+                       nz=md.nz)
+    check_state_for_nan(s)    # clean state passes
+
+    s_bad = s.replace(Hi=s.Hi.at[0].set(jnp.nan),
+                      u_vav_b=s.u_vav_b.at[3].set(jnp.inf))
+    with pytest.raises(NaNDetected) as e:
+        check_state_for_nan(s_bad, where="unit test")
+    msg = str(e.value)
+    assert "Hi" in msg and "u_vav_b" in msg and "unit test" in msg

@@ -130,7 +130,8 @@ class ModelRegion:
             # bed roughness (nudgable)
             from ..models.bed_roughness import (initial_bed_roughness,
                                                 make_run_bed_roughness_nudging)
-            self.bed_roughness_state = initial_bed_roughness(C, self.md)
+            self.bed_roughness_state = initial_bed_roughness(
+                C, self.md, region_name=self.name, Hb=Hb)
             self.state = self.state.replace(
                 bed_roughness=self.bed_roughness_state.generic)
             self.do_nudging = C.do_bed_roughness_nudging
@@ -143,6 +144,24 @@ class ModelRegion:
                                         refgeo_Hb=Hb_PD,
                                         bedrock_cdfs=self._bedrock_cdfs)
             self._thermo_fused = self.do_thermo
+            # distributed mode (tpu_n_devices > 1): the ice-dynamics
+            # fast-forward runs sharded over the device mesh
+            # (parallel/dist.py ShardedModel); thermodynamics then runs
+            # as an event at dt_thermodynamics cadence instead of fused
+            # into the stepping loop (mpi_basic.f90's distributed main
+            # loop is the reference pattern)
+            self._dist = None
+            n_dev = int(getattr(C, "tpu_n_devices", 1))
+            if n_dev > 1:
+                import jax as _jax
+                if len(_jax.devices()) >= n_dev:
+                    self._thermo_fused = False
+                else:
+                    warning("tpu_n_devices={} but only {} devices visible;"
+                            " running single-device", n_dev,
+                            len(_jax.devices()))
+                    n_dev = 1
+            self._n_dev = n_dev
             self.pc_multistep = make_pc_multistep(
                 C, self.pc_step,
                 thermo_step=self._thermo_step if self._thermo_fused
@@ -256,6 +275,13 @@ class ModelRegion:
                 fname = getattr(C, f"filename_pc_initialise_{self.name}")
                 _, st = restore_state_from_restart(self.state, fname)
                 self.state = self.state.replace(pc=st.pc)
+
+            # distributed mode: shard the stepping loop over the device
+            # mesh (built last - needs the initialised state for specs)
+            if self._n_dev > 1:
+                from ..parallel.dist import ShardedModel
+                with routine("build_sharded_model"):
+                    self._dist = ShardedModel(C, self, self._n_dev)
 
     def _build_component_dispatch(self):
         """(Re)build the jitted mask/fraction cache and the fused
@@ -539,7 +565,18 @@ class ModelRegion:
                     # costs one host round-trip per chunk, nothing more
                     t_stop = min(t_stop, t_hi + self.max_ff_years)
                     if t_stop > t_hi + 1e-9:
-                        if self._thermo_fused:
+                        if self._dist is not None:
+                            # sharded fast-forward over the device mesh;
+                            # state converts at the window boundaries
+                            # (component events run full-mesh)
+                            sd = self._dist.to_dist(self.state)
+                            sd, n = self._dist.multistep(
+                                sd, t_stop, dt_max,
+                                SMB=self._dist.pad_field_V(self.SMB),
+                                BMB=self._dist.pad_field_V(self.BMB),
+                                LMB=self._dist.pad_field_V(self.LMB))
+                            self.state = self._dist.from_dist(sd)
+                        elif self._thermo_fused:
                             self.state, n, t_th = self.pc_multistep(
                                 self.md, self.state, jnp.asarray(t_stop),
                                 jnp.asarray(dt_max),
@@ -560,6 +597,13 @@ class ModelRegion:
                                             max(t_end - t_hi, C.dt_ice_min))),
                             SMB=self.SMB, BMB=self.BMB, LMB=self.LMB)
                         self.n_dt_ice += 1
+
+                if C.do_check_for_NaN:
+                    # reference do_check_for_NaN: scan every state field
+                    # and crash naming the offenders (utils/sanitizer.py)
+                    from ..utils.sanitizer import check_state_for_nan
+                    check_state_for_nan(self.state,
+                                        where=f"t={self.time:.3f}")
 
                 if self.checksum.enabled:
                     self._log_checksums()
@@ -859,6 +903,10 @@ def _region_update_mesh(region):
     region.pc_multistep = _mkms(
         C, region.pc_step,
         thermo_step=region._thermo_step if region._thermo_fused else None)
+    # distributed mode: the halo tables/specs are mesh-shaped - rebuild
+    if getattr(region, "_dist", None) is not None:
+        from ..parallel.dist import ShardedModel
+        region._dist = ShardedModel(C, region, region._n_dev)
     # the fused component dispatch captured the OLD mesh's closures
     region._build_component_dispatch()
 

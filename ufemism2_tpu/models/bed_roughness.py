@@ -26,8 +26,57 @@ class BedRoughnessState(NamedTuple):
     generic: jnp.ndarray     # [nV] the nudged roughness parameter
 
 
-def initial_bed_roughness(C, md: MeshData):
+def _roughness_var_for_law(law: str) -> str:
+    """The file variable holding the generic roughness parameter per
+    sliding law (bed_roughness_main.f90:139-175: Weertman/Tsai/Schoof are
+    described by beta_sq, Coulomb/Budd/Zoet-Iverson by
+    till_friction_angle)."""
+    return ("beta_sq" if law in ("Weertman", "Tsai2015", "Schoof2005")
+            else "till_friction_angle")
+
+
+def initial_bed_roughness(C, md: MeshData, region_name: str = "ANT",
+                          Hb=None):
+    """Initial generic roughness field: uniform / parameterised
+    (Martin2011, MISMIP+) / read_from_file
+    (bed_roughness_main.f90:64-96 dispatch)."""
     law = C.choice_sliding_law
+    choice = getattr(C, "choice_bed_roughness", "uniform")
+    dtype = md.A.dtype
+
+    if choice == "read_from_file":
+        fname = getattr(C, f"filename_bed_roughness_{region_name}", "")
+        mesh = getattr(md, "_host_mesh", None)
+        if not fname or mesh is None:
+            raise ValueError("choice_bed_roughness='read_from_file' needs "
+                             f"filename_bed_roughness_{region_name} and "
+                             "the host mesh")
+        from ..io.input_files import read_field_from_file_2D
+        field = read_field_from_file_2D(fname, _roughness_var_for_law(law),
+                                        mesh)
+        return BedRoughnessState(generic=jnp.asarray(field, dtype))
+
+    if choice == "parameterised":
+        sub = C.choice_bed_roughness_parameterised
+        if sub == "Martin2011":
+            # linear-in-Hb till friction angle (Martin et al. 2011 Eq. 10)
+            if Hb is None:
+                raise ValueError("Martin2011 roughness needs Hb")
+            w = jnp.clip((jnp.asarray(Hb, dtype) - C.Martin2011till_phi_Hb_min)
+                         / (C.Martin2011till_phi_Hb_max
+                            - C.Martin2011till_phi_Hb_min), 0.0, 1.0)
+            phi = ((1.0 - w) * C.Martin2011till_phi_min
+                   + w * C.Martin2011till_phi_max)
+            return BedRoughnessState(generic=phi)
+        if sub in ("MISMIPplus", "MISMIP+"):
+            # uniform MISMIP+ alpha^2/beta^2 (calc_bed_roughness_MISMIPplus)
+            val = (C.slid_Tsai2015_beta_sq_uniform
+                   if law == "Tsai2015" else
+                   C.slid_Schoof2005_beta_sq_uniform)
+            return BedRoughnessState(generic=jnp.full(md.nV, val, dtype))
+        raise ValueError(
+            f"unknown choice_bed_roughness_parameterised '{sub}'")
+
     val = {"Weertman": C.slid_Weertman_beta_sq_uniform,
            "Coulomb": C.slid_Coulomb_phi_fric_uniform,
            "Budd": C.slid_Budd_phi_fric_uniform,
@@ -35,7 +84,7 @@ def initial_bed_roughness(C, md: MeshData):
            "Schoof2005": C.slid_Schoof2005_beta_sq_uniform,
            "Zoet-Iverson": C.slid_ZI_phi_fric_uniform,
            }.get(law, 1.0)
-    return BedRoughnessState(generic=jnp.full(md.nV, val, md.A.dtype))
+    return BedRoughnessState(generic=jnp.full(md.nV, val, dtype))
 
 
 def gaussian_extrapolate(md: MeshData, mask_seed, mask_fill, field,

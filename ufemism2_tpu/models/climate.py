@@ -94,7 +94,8 @@ def _make_run_idealised(C, md, region_name):
     if not sub.startswith("EISMINT1_"):
         raise ValueError(f"unknown choice_climate_model_idealised '{sub}'")
     exp = sub[-1]
-    V = np.asarray(md.V)
+    host = getattr(md, "_host_mesh", None)
+    V = host.V if host is not None else np.asarray(md.V)
     # fixed-margin distance from the divide: Chebyshev metric [km]
     d_km = jnp.asarray(np.maximum(np.abs(V[:, 0]), np.abs(V[:, 1])) / 1e3,
                        dtype)

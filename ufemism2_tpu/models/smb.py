@@ -27,7 +27,12 @@ def make_run_smb(C, md, region_name: str):
 
     if choice == "idealised":
         sub = C.choice_SMB_model_idealised
-        V = np.asarray(md.V)
+        # vertex coordinates from the HOST mesh: np.asarray(md.V) is a
+        # device_get that blocks on every async compile/dispatch queued
+        # during model init (measured 359 s of init's 378 s through the
+        # remote-device tunnel)
+        host = getattr(md, "_host_mesh", None)
+        V = host.V if host is not None else np.asarray(md.V)
         if sub in ("uniform", ""):
             # '' appears in reference configs (e.g. the MISMIP 8 km scaling
             # config) whose SMB is just the uniform accumulation rate
@@ -124,7 +129,9 @@ def _make_run_reconstructed(C, md, region_name):
     dtype = md.A.dtype
     poly = calc_roi_polygon("Patagonia")
     inside = jnp.asarray(
-        MplPath(poly).contains_points(np.asarray(md.V)))
+        MplPath(poly).contains_points(
+            md._host_mesh.V if getattr(md, "_host_mesh", None) is not None
+            else np.asarray(md.V)))
     Hs_ela, Hs_tla, Hs_dla = 500.0, 1500.0, 2500.0
     SMB_max, SMB_min = 2.0, -10.0
 

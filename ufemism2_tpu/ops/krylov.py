@@ -13,11 +13,17 @@ preconditioner application (approximate A^-1).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple
 
 import jax
 import numpy as np
 import jax.numpy as jnp
+
+# see ops/sparse.py: HIGHEST (bf16x3) is opt-in only - it crashes the
+# remote-TPU worker inside the full model
+_HP = (jax.lax.Precision.HIGHEST if os.environ.get("UF_SPMV_HIGHEST")
+       else None)
 
 from ..parallel import comm
 
@@ -332,7 +338,7 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
             # (~4e-3) on the orthogonalisation directly degrades the
             # Krylov basis and inflates iteration counts; these are
             # BW-bound so multi-pass f32 is free
-            hp = jax.lax.Precision.HIGHEST
+            hp = _HP
             h1 = jnp.where(mask, comm.gsum(jnp.matmul(Vm, w, precision=hp)), 0.0)
             w = w - jnp.matmul(h1, Vm, precision=hp)
             h2 = jnp.where(mask, comm.gsum(jnp.matmul(Vm, w, precision=hp)), 0.0)
@@ -340,7 +346,7 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
             hj1 = comm.norm(w)
             Vm = Vm.at[j + 1].set(w / jnp.where(hj1 < tiny, one, hj1))
             h = (h1 + h2).at[j + 1].set(hj1)     # new Hessenberg column
-            hr = jnp.matmul(G, h, precision=jax.lax.Precision.HIGHEST)
+            hr = jnp.matmul(G, h, precision=_HP)
             # new Givens rotation zeroing hr[j+1] against hr[j]
             a, bb = hr[j], hr[j + 1]
             rho = jnp.sqrt(a * a + bb * bb)
@@ -370,7 +376,7 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
         g = jnp.where(colf, g, 0.0)
         y = jax.scipy.linalg.solve_triangular(Rs, g, lower=False)
         x_new = x + jnp.matmul(y, out.Vm[:m],
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_HP)
         rnorm = comm.norm(Mf(bf - Af(x_new)))
         return x_new, rnorm, jf + 2   # jf matvecs + initial r + final check
 

@@ -14,6 +14,7 @@ needed remote columns (parallel/halo.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -21,6 +22,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+
+# HIGHEST-precision (bf16x3) einsums/matmuls crash the remote-TPU
+# worker inside the full compiled model ('kernel fault'; bisected
+# round 3) while default-precision bf16-multiply/f32-accumulate
+# converges fine - CGS2 re-orthogonalisation and the Picard outer loop
+# absorb the ~1e-3 matvec noise. HIGHEST stays available for A/B runs
+# via UF_SPMV_HIGHEST=1. UF_HOST_SLAB=1 builds operator slabs
+# host-side and ships them dense (debug fallback; device-side scatter
+# expansion is ~20x faster through the tunnel and bisected safe).
+_HP = (jax.lax.Precision.HIGHEST if os.environ.get("UF_SPMV_HIGHEST")
+       else None)
+_HOST_SLAB = bool(os.environ.get("UF_HOST_SLAB"))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -149,11 +162,11 @@ def tiled_spmv(M: TiledEllMatrix, x):
     if x.ndim == 1:
         y = jnp.einsum("brtw,btw->br", M.coef, xg,
                        preferred_element_type=x.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_HP)
         return y.reshape(-1)[: M.n_rows]
     y = jnp.einsum("brtw,btwd->brd", M.coef, xg,
                    preferred_element_type=x.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_HP)
     return y.reshape(-1, x.shape[1])[: M.n_rows]
 
 
@@ -188,6 +201,15 @@ def _expand_coef_on_device(flat_idx, vals, shape, dtype):
     a few-MB one. vals may be [nnz] or [n_ops, nnz] (shared pattern).
     """
     n_flat = int(np.prod(shape))
+    if _HOST_SLAB:
+        v = np.asarray(vals)
+        if v.ndim == 1:
+            out = np.zeros(n_flat)
+            np.add.at(out, np.asarray(flat_idx), v)
+            return jnp.asarray(out.reshape(shape), dtype)
+        out = np.zeros((v.shape[0], n_flat))
+        np.add.at(out, (slice(None), np.asarray(flat_idx)), v)
+        return jnp.asarray(out.reshape((v.shape[0],) + tuple(shape)), dtype)
     idx = jnp.asarray(flat_idx, jnp.int32)
     v = jnp.asarray(vals, dtype)
     if v.ndim == 1:
@@ -234,11 +256,11 @@ class TiledEllStack:
         if x.ndim == 1:
             y = jnp.einsum("obrtw,btw->obr", self.coef, xg,
                            preferred_element_type=x.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_HP)
             return y.reshape(self.coef.shape[0], -1)[:, : self.n_rows]
         y = jnp.einsum("obrtw,btwd->obrd", self.coef, xg,
                        preferred_element_type=x.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_HP)
         return y.reshape(self.coef.shape[0], -1,
                          x.shape[1])[:, : self.n_rows]
 
@@ -314,7 +336,7 @@ class GroupedTiledEllStack:
             xg = xt[tid]                        # [nBg, Tg, 128, d]
             y = jnp.einsum("obrtw,btwd->obrd", coef, xg,
                            preferred_element_type=x.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_HP)
             outs.append(y.reshape(coef.shape[0], -1, d))
         yall = jnp.concatenate(outs, axis=1)[:, self.inv_rows]
         return yall[..., 0] if vec else yall

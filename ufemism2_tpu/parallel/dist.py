@@ -444,6 +444,7 @@ class ShardedModel:
         md_dist, md_specs, spaces = build_dist_md(
             region.mesh, region.md, Pn)
         self.md = md_dist
+        self._md_specs = md_specs
         self.n_pad_V = spaces["V"].nL * Pn
         self.n_pad_Tri = spaces["Tri"].nL * Pn
         self.spaces = spaces
@@ -494,3 +495,67 @@ class ShardedModel:
         LMB = z if LMB is None else LMB
         return self._sharded(self.md, state_d, jnp.asarray(dt_max),
                              SMB, BMB, LMB)
+
+    def _build_multistep(self, C):
+        """Sharded fast-forward: advance PC steps on the device mesh until
+        the prediction window covers t_stop, in ONE dispatch (the sharded
+        twin of core.ice.pc.make_pc_multistep). The while_loop condition
+        reads the (replicated) scalar t_Hi_next, so all devices agree on
+        the step count without extra collectives."""
+        from jax import shard_map
+        from ..core.ice.pc import make_pc_step
+        pc_raw = make_pc_step(C, self.md, jit=False)
+        dt_min = C.dt_ice_min
+
+        def local_multi(md, s, t_stop, dt_max, SMB, BMB, LMB):
+            with comm.axis_ctx(MESH_AXIS):
+                def cond(c):
+                    s_, n = c
+                    return s_.t_Hi_next < t_stop - 1e-9
+
+                def body(c):
+                    s_, n = c
+                    cap = jnp.minimum(
+                        dt_max, jnp.maximum(t_stop - s_.t_Hi_next, dt_min))
+                    return (pc_raw(md, s_, cap, SMB=SMB, BMB=BMB, LMB=LMB),
+                            n + 1)
+                return jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+
+        s_specs = state_specs(
+            state_pad(self.region.state, self.nV, self.nTri,
+                      self.n_pad_V, self.n_pad_Tri),
+            self.n_pad_V, self.n_pad_Tri)
+        v_spec = P(MESH_AXIS)
+        return jax.jit(shard_map(
+            local_multi, mesh=self.jmesh,
+            in_specs=(self._md_specs, s_specs, P(), P(),
+                      v_spec, v_spec, v_spec),
+            out_specs=(s_specs, P()), check_vma=False))
+
+    def multistep(self, state_d, t_stop, dt_max, SMB=None, BMB=None,
+                  LMB=None):
+        if not hasattr(self, "_multi"):
+            self._multi = self._build_multistep(self.region.C)
+        z = self._zeros_V
+        SMB = z if SMB is None else SMB
+        BMB = z if BMB is None else BMB
+        LMB = z if LMB is None else LMB
+        return self._multi(self.md, state_d, jnp.asarray(t_stop),
+                           jnp.asarray(dt_max), SMB, BMB, LMB)
+
+    def halo_stats(self):
+        """Per-space halo/occupancy diagnostics for the multichip
+        artifact: local block sizes, halo-slot sizes, and the occupancy
+        of the padded local blocks (useful vertices / padded size)."""
+        out = {}
+        for name, sp in self.spaces.items():
+            halo_sizes = [int(len(h)) for h in sp.halo_sets]
+            out[name] = {
+                "n_global": int(sp.n),
+                "n_local_padded": int(sp.nL),
+                "occupancy": round(sp.n / (sp.nL * sp.P), 4),
+                "halo_recv_max": int(sp.Hh),
+                "halo_recv_mean": round(float(np.mean(halo_sizes)), 1),
+                "halo_frac_of_local": round(sp.Hh / max(sp.nL, 1), 4),
+            }
+        return out

@@ -123,9 +123,30 @@ def run_ssa_icestream(scoreboard_dir=None, resolutions=(32, 16, 8, 4),
 # the standard ISMIP-HOM transect (y = L/4) are recorded.
 # ---------------------------------------------------------------------------
 
+def _ref_published_rmse(experiment, approximation, L_km):
+    """The reference's own published scoreboard values for this ISMIP-HOM
+    test (vs the Pattyn 2008 HO ensemble, which is not shipped):
+    (mean, min, max) over the committed scoreboard history, or None."""
+    import glob as _glob
+    import re
+    pat = ("/root/reference/automated_testing/scoreboard/scoreboard_files/"
+           f"it_ideal_ISMIP_HOM_experiment_{experiment}_{approximation}"
+           f"_L{L_km:03d}_*.xml")
+    vals = []
+    for f in _glob.glob(pat):
+        txt = Path(f).read_text()
+        m = re.search(r"<name>rmse</name>.*?<value>([0-9eE.+-]+)</value>",
+                      txt, re.S)
+        if m:
+            vals.append(float(m.group(1)))
+    if not vals:
+        return None
+    return float(np.mean(vals)), float(np.min(vals)), float(np.max(vals))
+
+
 def run_ismip_hom(scoreboard_dir=None, experiment="A", L_km=80,
                   approximation="DIVA", output_dir=None,
-                  ensemble_dir=None):
+                  ensemble_dir=None, _return_transect=False):
     from ..models.transects import Transect
     cfg = REF_TESTS / "idealised/ISMIP-HOM" \
         / f"config_ISMIP_HOM_{experiment}_{L_km}_{approximation}.cfg"
@@ -148,10 +169,61 @@ def run_ismip_hom(scoreboard_dir=None, experiment="A", L_km=80,
                           float(u_surf.max()))
     run.add_cost_function("u_surf_mean", "mean u_surf on y=L/4 transect",
                           float(u_surf.mean()))
+    ref = _ref_published_rmse(experiment, approximation, L_km)
+    if ref is not None:
+        # the Pattyn ensemble data is not shipped; record the reference's
+        # own published rmse-vs-ensemble as the comparison anchor
+        run.add_cost_function("reference_rmse_vs_ensemble_mean",
+                              "published reference scoreboard values",
+                              ref[0])
     run.add_stability_info(_stability(r))
     if scoreboard_dir:
         run.write(scoreboard_dir)
+    if _return_transect:
+        return run, u_surf
     return run
+
+
+def run_ismip_hom_matrix(scoreboard_dir=None, experiments=("A", "B", "C",
+                                                           "D"),
+                         Ls=(5, 10, 20, 40, 80, 160),
+                         approximations=("DIVA", "BPA", "SIASSA"),
+                         output_dir=None, verbose=True):
+    """The reference's full ISMIP-HOM matrix
+    (analyse_integrated_test_ISMIP_HOM_{A..D}.m: 4 experiments x 6 domain
+    lengths x 3 approximations). With the HO ensemble data unavailable,
+    each (experiment, L) additionally records the cross-approximation
+    RMSE (BPA is the highest-order model here, so DIVA/SIASSA are scored
+    against it - the same role the ensemble band plays)."""
+    runs = []
+    for exp in experiments:
+        for L in Ls:
+            transects = {}
+            for approx in approximations:
+                run, u = run_ismip_hom(scoreboard_dir, exp, L, approx,
+                                       output_dir, _return_transect=True)
+                transects[approx] = u
+                runs.append(run)
+                if verbose:
+                    print(run.summary(), flush=True)
+            if "BPA" in transects:
+                u_ref = transects["BPA"]
+                xrun = ScoreboardRun(
+                    name=f"experiment_{exp}_crosscheck_L{L:03d}",
+                    category="integrated_tests/idealised/ISMIP_HOM")
+                for approx, u in transects.items():
+                    if approx == "BPA":
+                        continue
+                    rmse = float(np.sqrt(((u - u_ref) ** 2).mean()))
+                    xrun.add_cost_function(
+                        f"rmse_{approx}_vs_BPA",
+                        "sqrt( mean( (u_surf - u_surf_BPA).^2 ))", rmse)
+                runs.append(xrun)
+                if scoreboard_dir:
+                    xrun.write(scoreboard_dir)
+                if verbose:
+                    print(xrun.summary(), flush=True)
+    return runs
 
 
 # ---------------------------------------------------------------------------
@@ -159,6 +231,81 @@ def run_ismip_hom(scoreboard_dir=None, experiment="A", L_km=80,
 # costs from the westeast transect; bands 450 km (init), [350,420] km
 # (after ice1r retreat), wobble bound.
 # ---------------------------------------------------------------------------
+
+def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
+                          end_time=None, dt_restart=500.0, **overrides):
+    """The real MISMIP+ gate: the reference's 5 km spinup
+    (config_01_5km_spinup_part0.cfg, 20 kyr to steady state; the GL must
+    end near x = 450 km, analyse_integrated_test.m:51). Writes restart
+    files every dt_restart model-years and RESUMES from the newest one on
+    a fresh call with the same output_dir, so a run interrupted by a
+    device/worker drop continues instead of restarting (the reference
+    gets the same from its restart machinery, UFEMISM_main_model.f90).
+    """
+    import glob
+    import jax
+    from ..mesh.mesh_types import mesh_from_points
+    from ..io.output_files import load_restart_file
+    from ..io.ncio import NCFile
+    from ..models.transects import Transect
+
+    cfg = REF_TESTS / "idealised/MISMIPplus/config_01_5km_spinup_part0.cfg"
+    over = {"refgeo_idealised_MISMIPplus_Hi_init": 100.0,
+            "dt_output_restart": dt_restart}
+    over.update(overrides)
+    if end_time is not None:
+        over["end_time_of_run"] = end_time
+    C = _load(cfg, **over)
+
+    restarts = sorted(glob.glob(str(Path(output_dir) / "restart_ANT_*.nc"))
+                      + glob.glob(str(Path(output_dir) / "ANT"
+                                      / "restart_ANT_*.nc")))
+    mesh = None
+    resume_path = None
+    if restarts:
+        # newest restart by recorded time (files cycle per mesh update)
+        def _rt(p):
+            try:
+                with NCFile(p) as nc:
+                    return float(np.asarray(nc.read("time")).reshape(-1)[0])
+            except Exception:
+                return -np.inf
+        resume_path = max(restarts, key=_rt)
+        t_res = _rt(resume_path)
+        if np.isfinite(t_res) and t_res > C.start_time_of_run:
+            with NCFile(resume_path) as nc:
+                V = np.asarray(nc.read("V"))
+                Tri = np.asarray(nc.read("Tri")).astype(np.int64) - 1
+            mesh = mesh_from_points(
+                V, C.xmin_ANT, C.xmax_ANT, C.ymin_ANT, C.ymax_ANT,
+                nz=C.nz, choice_zeta_grid=C.choice_zeta_grid,
+                zeta_irregular_log_R=C.zeta_irregular_log_R, Tri=Tri)
+            print(f"[gate] resuming from {resume_path} at t={t_res:.1f}",
+                  flush=True)
+        else:
+            resume_path = None
+
+    from ..main.region import ModelRegion
+    r = ModelRegion(C, "ANT", mesh=mesh, output_dir=output_dir)
+    if resume_path is not None:
+        r.resume_from_restart(resume_path)
+    r.run_to(C.end_time_of_run)
+
+    tr = Transect.named(r.mesh, "westeast", dx=1e3)
+    taf = tr.sample_vertices(np.asarray(r.state.TAF))
+    x_GL = tr.zero_crossing_distance(taf) + r.mesh.xmin
+
+    run = ScoreboardRun(name="MISMIPplus_5km_spinup",
+                        category="integrated_tests/idealised/MISMIPplus")
+    run.add_cost_function("x_GL_km", "mid-channel grounding-line position",
+                          x_GL / 1e3)
+    run.add_cost_function("err_x_GL_init", "abs( x_GL - 450e3)",
+                          abs(x_GL - 450e3))
+    run.add_stability_info(_stability(r))
+    if scoreboard_dir:
+        run.write(scoreboard_dir)
+    return run
+
 
 def run_mismipplus(scoreboard_dir=None, quick=True, output_dir=None):
     from ..models.transects import Transect
@@ -193,6 +340,260 @@ def run_mismipplus(scoreboard_dir=None, quick=True, output_dir=None):
 
 
 # ---------------------------------------------------------------------------
+# MISMIP_mod hysteresis (analyse_integrated_test.m in MISMIP_mod/): the
+# radially-symmetric MISMIP experiment run through the reference's 4-leg
+# chain (40 km spinup -> 10 km spinup -> advance at A=1e-17 -> retreat at
+# A=1e-16), scored as |rGL_retreat(end) - rGL_spinup(end)| along the 8
+# octant transects (reference values 451-13,543 m by octant, BASELINE.md).
+# ---------------------------------------------------------------------------
+
+MISMIP_MOD_DIR = REF_TESTS / "idealised/MISMIP_mod"
+_OCTANTS = ("east", "northeast", "north", "northwest",
+            "west", "southwest", "south", "southeast")
+
+
+def _transfer_geometry(region_prev, C_next):
+    """Hand the final (Hi, Hb, SL) of one leg to the next leg's fresh
+    mesh by trilinear mesh-to-point interpolation (the reference chains
+    legs through main-output files + read_from_file geometry;
+    in-process the remap atlas map does the same job)."""
+    from ..remap.conservative import build_map_trilin_mesh_to_points
+    from ..main.region import ModelRegion
+    r_next = ModelRegion(C_next, "ANT")
+    M = build_map_trilin_mesh_to_points(region_prev.mesh, r_next.mesh.V)
+    Hi = np.maximum(0.0, M @ np.asarray(region_prev.state.Hi))
+    Hb = M @ np.asarray(region_prev.state.Hb)
+    SL = M @ np.asarray(region_prev.state.SL)
+    Hi = np.where(Hi < C_next.refgeo_Hi_min, 0.0, Hi)
+    import jax.numpy as jnp
+    from ..core.ice.geometry import (ice_surface_elevation,
+                                     thickness_above_flotation)
+    dt = r_next.state.Hi.dtype
+    Hi_j = jnp.asarray(Hi, dt)
+    Hb_j = jnp.asarray(Hb, dt)
+    SL_j = jnp.asarray(SL, dt)
+    Hs_j = ice_surface_elevation(Hi_j, Hb_j, SL_j)
+    r_next.state = r_next.state.replace(
+        Hi=Hi_j, Hi_prev=Hi_j, Hi_next=Hi_j, Hb=Hb_j, SL=SL_j, Hs=Hs_j,
+        Hib=Hs_j - Hi_j, TAF=thickness_above_flotation(Hi_j, Hb_j, SL_j))
+    return r_next
+
+
+def _octant_rGL(region):
+    """GL distance from the domain centre along each octant transect."""
+    from ..models.transects import Transect
+    out = {}
+    taf_np = np.asarray(region.state.TAF)
+    for oc in _OCTANTS:
+        tr = Transect.named(region.mesh, oc, dx=2e3)
+        taf = tr.sample_vertices(taf_np)
+        out[oc] = float(tr.zero_crossing_distance(taf))
+    return out
+
+
+def run_mismip_mod(scoreboard_dir=None, output_dir=None, scale=1.0,
+                   t_spin40=None, t_spin10=None, t_adv=None, t_ret=None):
+    """Full MISMIP_mod hysteresis chain. scale < 1 shortens every leg
+    proportionally (recorded in the scoreboard name) for CI-speed runs;
+    scale=1.0 is the reference configuration."""
+    def _t(cfg_default, override):
+        return override if override is not None else cfg_default * scale
+
+    C1 = _load(MISMIP_MOD_DIR / "config_01_spinup_40km.cfg",
+               end_time_of_run=_t(20000.0, t_spin40))
+    r1 = _region(C1, output_dir)
+    r1.run_to(C1.end_time_of_run)
+
+    C2 = _load(MISMIP_MOD_DIR / "config_02_spinup_10km.cfg",
+               end_time_of_run=_t(5000.0, t_spin10),
+               choice_refgeo_init_ANT="idealised",
+               choice_refgeo_init_idealised="MISMIP_mod")
+    r2 = _transfer_geometry(r1, C2)
+    r2.run_to(C2.end_time_of_run)
+    rGL_spin = _octant_rGL(r2)
+
+    C3 = _load(MISMIP_MOD_DIR / "config_03_advance_10km.cfg",
+               end_time_of_run=_t(10000.0, t_adv),
+               choice_refgeo_init_ANT="idealised",
+               choice_refgeo_init_idealised="MISMIP_mod")
+    r3 = _transfer_geometry(r2, C3)
+    r3.run_to(C3.end_time_of_run)
+
+    C4 = _load(MISMIP_MOD_DIR / "config_04_retreat_10km.cfg",
+               end_time_of_run=_t(10000.0, t_ret),
+               choice_refgeo_init_ANT="idealised",
+               choice_refgeo_init_idealised="MISMIP_mod")
+    r4 = _transfer_geometry(r3, C4)
+    r4.run_to(C4.end_time_of_run)
+    rGL_ret = _octant_rGL(r4)
+
+    tag = "" if scale >= 1.0 else f"_scale{scale:g}"
+    run = ScoreboardRun(name="MISMIP_mod" + tag,
+                        category="integrated_tests/idealised/MISMIP_mod")
+    for oc in _OCTANTS:
+        run.add_cost_function(
+            f"GL_hyst_{oc}",
+            "abs( rGL_retreat(end) - rGL_spinup(end) )",
+            abs(rGL_ret[oc] - rGL_spin[oc]))
+    run.add_stability_info(_stability(r2))
+    if scoreboard_dir:
+        run.write(scoreboard_dir)
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Berends et al. (2023) bed-roughness nudging, experiment I
+# (Berends2023_nudging/experiment_I/): an EISMINT-like moving-margin dome
+# with a prescribed ice-stream till-friction-angle anomaly; a spinup with
+# the TRUE roughness provides the target, then an inversion run starting
+# from uniform roughness must recover it. Scored with the reference's
+# 95th-percentile cost functions
+# (analyse_integrated_test_H_dHdt_flowline.m:110-140).
+# ---------------------------------------------------------------------------
+
+def _berends_exp_I_fields(V):
+    """The experiment-I synthetic till friction angle and SMB on points V
+    (input_data/AA_create_experiment_I_data.m:20-33,247,258)."""
+    phi_min, phi_max = 0.8, 2.0
+    x_c, y_c = 0.0, -400e3
+    sig_x, sig_y = 50e3, 300e3
+    phi = phi_max - (phi_max - phi_min) * np.exp(
+        -0.5 * (((V[:, 0] - x_c) / sig_x) ** 2
+                + ((V[:, 1] - y_c) / sig_y) ** 2))
+    M_max, E, S = 0.5, 400e3, 1e-5
+    r = np.sqrt(V[:, 0] ** 2 + V[:, 1] ** 2)
+    smb = np.minimum(M_max, S * (E - r))
+    return phi, smb
+
+
+def _p95(x):
+    return float(np.percentile(np.abs(np.asarray(x)), 95))
+
+
+def _r95(target, inverted):
+    ratio = np.asarray(inverted, float) / np.asarray(target, float)
+    ratio = np.maximum(ratio, 1.0 / np.maximum(ratio, 1e-30))
+    return float(np.percentile(ratio, 95))
+
+
+def run_berends_nudging(method="H_dHdt_flowline", resolution=40e3,
+                        t_spinup=5000.0, t_invert=2000.0,
+                        scoreboard_dir=None, output_dir=None):
+    """Experiment I at the given resolution: target spinup with the true
+    roughness, then an inversion leg starting from uniform roughness
+    nudged by `method` toward the target geometry. The reference runs the
+    chain at 5 km / 20+ kyr; resolution/t let CI run the same physics
+    scaled down (recorded in the scoreboard name)."""
+    import jax.numpy as jnp
+    import tempfile
+    from ..io.ncio import NCFile
+    cfg = (REF_TESTS / "idealised/Berends2023_nudging/experiment_I"
+           / "config_01_exp_I_spinup_40km_part0.cfg")
+
+    # generate the experiment-I input files the reference ships as MATLAB
+    # generators (input_data/AA_create_experiment_I_data.m): bed roughness
+    # + SMB on a grid at the requested resolution
+    tmp = tempfile.mkdtemp(prefix="berends_")
+    gx = np.arange(-700e3, 700e3 + 1, resolution / 2)
+    gy = gx.copy()
+    GX, GY = np.meshgrid(gx, gy, indexing="ij")
+    pts = np.stack([GX.ravel(), GY.ravel()], 1)
+    phi_g, smb_g = _berends_exp_I_fields(pts)
+    rough_file = f"{tmp}/exp_I_bed_roughness.nc"
+    smb_file = f"{tmp}/exp_I_SMB.nc"
+    with NCFile(rough_file, "w") as nc:
+        nc.def_dim("x", len(gx))
+        nc.def_dim("y", len(gy))
+        nc.def_var("x", ("x",), units="m"); nc.put("x", gx)
+        nc.def_var("y", ("y",), units="m"); nc.put("y", gy)
+        nc.def_var("till_friction_angle", ("x", "y"), units="degrees")
+        nc.put("till_friction_angle", phi_g.reshape(GX.shape))
+    with NCFile(smb_file, "w") as nc:
+        nc.def_dim("x", len(gx))
+        nc.def_dim("y", len(gy))
+        nc.def_var("x", ("x",), units="m"); nc.put("x", gx)
+        nc.def_var("y", ("y",), units="m"); nc.put("y", gy)
+        nc.def_var("SMB", ("x", "y"), units="m/yr")
+        nc.put("SMB", smb_g.reshape(GX.shape))
+
+    common = dict(
+        end_time_of_run=t_spinup,
+        maximum_resolution_uniform=resolution,
+        maximum_resolution_grounded_ice=resolution,
+        maximum_resolution_grounding_line=resolution,
+        filename_SMB_prescribed_ANT=smb_file,
+        allow_mesh_updates=False,
+    )
+
+    # -- target spinup with the TRUE roughness (read from file, as the
+    # reference's spinup legs do) ----------------------------------------
+    C1 = _load(cfg, choice_bed_roughness="read_from_file",
+               filename_bed_roughness_ANT=rough_file, **common)
+    r1 = _region(C1, output_dir)
+    phi_true = np.asarray(r1.state.bed_roughness)
+    dt = r1.md.A.dtype
+    r1.run_to(C1.end_time_of_run)
+
+    u3 = np.asarray(r1.state.u_3D_b)
+    v3 = np.asarray(r1.state.v_3D_b)
+    uabs_t = np.sqrt(u3[:, 0] ** 2 + v3[:, 0] ** 2)
+    Hs_t = np.asarray(r1.state.Hs)
+    Hi_t = np.asarray(r1.state.Hi)
+
+    # sliding grounded masks (analyse script: Hs>2 & sliding)
+    mask_a = (Hs_t > 2.0) & np.asarray(r1.state.mask_grounded_ice)
+    mask_b = mask_a[r1.mesh.Tri].all(axis=1)
+
+    # -- inversion from uniform roughness, nudged by `method` -----------
+    over2 = dict(common, end_time_of_run=t_invert,
+                 choice_bed_roughness="uniform",
+                 slid_ZI_phi_fric_uniform=float(phi_true.mean()),
+                 do_bed_roughness_nudging=True,
+                 choice_bed_roughness_nudging_method=method)
+    C2 = _load(cfg, **over2)
+    r2 = _region(C2, output_dir)
+    # target geometry = the spun-up state (same mesh: same config/domain)
+    r2.refgeo_PD = (Hi_t, np.asarray(r1.state.Hb))
+    # start the inversion from the spun-up geometry (the reference's
+    # inversion legs restart from the spinup output)
+    from ..core.ice.geometry import (ice_surface_elevation,
+                                     thickness_above_flotation)
+    Hi_j = jnp.asarray(Hi_t, dt)
+    Hb_j = r2.state.Hb
+    Hs_j = ice_surface_elevation(Hi_j, Hb_j, r2.state.SL)
+    r2.state = r2.state.replace(
+        Hi=Hi_j, Hi_prev=Hi_j, Hi_next=Hi_j, Hs=Hs_j, Hib=Hs_j - Hi_j,
+        TAF=thickness_above_flotation(Hi_j, Hb_j, r2.state.SL))
+    r2.run_to(C2.end_time_of_run)
+
+    phi_inv = np.asarray(r2.state.bed_roughness)
+    u3 = np.asarray(r2.state.u_3D_b)
+    v3 = np.asarray(r2.state.v_3D_b)
+    uabs_i = np.sqrt(u3[:, 0] ** 2 + v3[:, 0] ** 2)
+    Hs_i = np.asarray(r2.state.Hs)
+
+    run = ScoreboardRun(
+        name=f"exp_I_{method}_{int(resolution/1e3)}km",
+        category="integrated_tests/idealised/Berends2023_nudging")
+    run.add_cost_function(
+        "r95_till_friction_angle",
+        "95% of till friction is within this fraction of its target",
+        _r95(phi_true[mask_a], phi_inv[mask_a]))
+    run.add_cost_function(
+        "p95_ice_thickness",
+        "95% of ice thickness is within this range of its target",
+        _p95(Hs_i[mask_a] - Hs_t[mask_a]))
+    run.add_cost_function(
+        "r95_ice_velocity",
+        "95% of ice velocity is within this fraction of its target",
+        _r95(uabs_t[mask_b] + 5.0, uabs_i[mask_b] + 5.0))
+    run.add_stability_info(_stability(r2))
+    if scoreboard_dir:
+        run.write(scoreboard_dir)
+    return run
+
+
+# ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
 
@@ -210,10 +611,13 @@ def run_all_integrated_tests(scoreboard_dir, quick=True, verbose=True):
     else:
         runs.append(run_halfar(scoreboard_dir, resolution_km=5))
         runs.append(run_ssa_icestream(scoreboard_dir))
-        for L in (5, 10, 20, 40, 80, 160):
-            for approx in ("DIVA", "BPA"):
-                runs.append(run_ismip_hom(scoreboard_dir, "A", L, approx))
-        runs.append(run_mismipplus(scoreboard_dir, quick=False))
+        runs.extend(run_ismip_hom_matrix(scoreboard_dir, verbose=verbose))
+        runs.append(run_mismipplus_spinup("results_mismipplus_5km_spinup",
+                                          scoreboard_dir))
+        runs.append(run_mismip_mod(scoreboard_dir))
+        for method in ("H_dHdt_flowline", "H_dHdt_local", "H_u_flowline"):
+            runs.append(run_berends_nudging(method=method,
+                                            scoreboard_dir=scoreboard_dir))
     if verbose:
         for r in runs:
             print(r.summary())
