@@ -54,13 +54,16 @@ def bench_mismip():
     from ufemism2_tpu.config import load_config
     from ufemism2_tpu.main.region import ModelRegion
 
-    # The measured window holds the mesh fixed: the metric is stepping
-    # throughput (the reference's scaling config remeshes every ~50 yr,
-    # a host-side event whose cost is amortised over the 10 kyr run, and
-    # the axon tunnel's worker reliably drops during the remesh
-    # recompile burst - see MULTICHIP/BENCH notes).
-    C = load_config(MISMIP_CFG, tpu_precision="f32",
-                    allow_mesh_updates=False)
+    # Two windows on the same run, mesh updates ENABLED as the config
+    # asks (dt_mesh_update_min = 50 yr):
+    #   - fixed-mesh window (20..220 yr): stepping-loop throughput,
+    #     comparable across rounds (no remesh falls in it by
+    #     construction: the first fitness check at 50 yr keeps the mesh
+    #     while the slab geometry is young);
+    #   - amortised window (220..520 yr): includes every remesh event
+    #     (host rebuild + re-jit) the adaptive config triggers, so the
+    #     headline reflects the north-star run's real cost profile.
+    C = load_config(MISMIP_CFG, tpu_precision="f32")
 
     t_build0 = time.perf_counter()
     region = ModelRegion(C, "ANT")
@@ -82,7 +85,7 @@ def bench_mismip():
     n_steps = region.n_dt_ice - n_step0
     x_gl = find_x_GL(region.mesh, state.TAF)
 
-    return {
+    out = {
         "sim_yr_per_hr": sim_window / wall * 3600.0,
         "wall_s": wall,
         "mesh_build_s": build_s,
@@ -94,6 +97,27 @@ def bench_mismip():
         "ms_per_krylov_it": wall * 1e3 / max(n_axb, 1),
         "x_GL_km": x_gl / 1e3,
     }
+
+    # amortised window: keep stepping with adaptive remeshing live. A
+    # tunnel-worker drop during the remesh recompile burst must not cost
+    # the round's headline number, so failures degrade to a note.
+    amort_window = 300.0
+    t_a0 = region.time
+    n_up0 = getattr(region, "n_mesh_updates", 0)
+    t0 = time.perf_counter()
+    try:
+        state = region.run_to(t_a0 + amort_window)
+        wall_a = time.perf_counter() - t0
+        out["amortised"] = {
+            "sim_yr_per_hr": amort_window / wall_a * 3600.0,
+            "wall_s": wall_a,
+            "n_mesh_updates": getattr(region, "n_mesh_updates", 0) - n_up0,
+            "nV_end": region.mesh.nV,
+            "x_GL_km": find_x_GL(region.mesh, region.state.TAF) / 1e3,
+        }
+    except Exception as e:                          # pragma: no cover
+        out["amortised"] = {"error": str(e)[:300]}
+    return out
 
 
 def bench_halfar():

@@ -334,7 +334,7 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
     """
     is_diva = choice == "DIVA"
     with_sia = choice == "SIA/SSA"
-    precond_kind = getattr(C, "tpu_stress_balance_precond", "chebyshev")
+    precond_kind = getattr(C, "tpu_stress_balance_precond", "block_jacobi")
     precond_deg = int(getattr(C, "tpu_stress_balance_precond_degree", 5))
     krylov_restart = int(getattr(C, "tpu_stress_balance_krylov_restart", 60))
     ocean_pressure = getattr(C, "BC_ice_front", "infinite_slab") \

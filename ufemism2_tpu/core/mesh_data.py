@@ -22,11 +22,13 @@ from ..ops.sparse import (EllMatrix, ell_from_csr, TiledEllMatrix,
 
 
 def _build_m2_stack(mats, dtype):
-    """Flat tile slab. The T-grouped layout (grouped_stack_from_csr) is
-    26% faster in isolation but a net loss inside the fused viscosity
-    iteration (the inverse-row gather defeats XLA's fusion; measured
-    18.3k vs 19.7k sim-yr/hr on the MISMIP bench - PERF_NOTES.md), so
-    the flat slab stays the default."""
+    """Flat tile slab by default. The T-grouped layout
+    (grouped_stack_from_csr) reads ~2.4x less slab but its inverse-row
+    gather defeated XLA's fusion in the round-2 (noisy-einsum) context;
+    UF_M2_LAYOUT=grouped re-enables it for A/B runs (PERF_NOTES.md)."""
+    import os
+    if os.environ.get("UF_M2_LAYOUT") == "grouped":
+        return grouped_stack_from_csr(mats, dtype=dtype)
     return tiled_stack_from_csr(mats, dtype=dtype)
 
 

@@ -762,6 +762,7 @@ def _region_update_mesh(region):
     old_mesh = region.mesh
     old_md_extras = dict(region.md.extras)
     s = region.state
+    region.n_mesh_updates = getattr(region, "n_mesh_updates", 0) + 1
 
     # rasterise current geometry to a temp grid for feature extraction
     dx = max(min(C.maximum_resolution_grounding_line,

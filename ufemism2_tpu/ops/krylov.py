@@ -20,10 +20,23 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-# see ops/sparse.py: HIGHEST (bf16x3) is opt-in only - it crashes the
-# remote-TPU worker inside the full model
-_HP = (jax.lax.Precision.HIGHEST if os.environ.get("UF_SPMV_HIGHEST")
-       else None)
+# The GMRES orthogonalisation products are computed on the VPU
+# (elementwise multiply + reduce) instead of jnp.matmul: the TPU's
+# default bf16 matmul noise (~4e-3) on the orthogonalisation directly
+# degrades the Krylov basis and inflates iteration counts, while the
+# accurate einsum mode (HIGHEST, bf16x3) crashes the remote-TPU worker
+# (bisected round 3). These are [m, n]-by-[n] bandwidth-bound products,
+# so skipping the MXU is free and exact in f32.
+
+
+def _mat_vec(Mat, v):
+    """[m, n] @ [n] -> [m], exact f32 on the VPU."""
+    return (Mat * v[None, :]).sum(-1)
+
+
+def _vec_mat(h, Mat):
+    """[m] @ [m, n] -> [n], exact f32 on the VPU."""
+    return (h[:, None] * Mat).sum(0)
 
 from ..parallel import comm
 
@@ -334,19 +347,14 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
             # numerically equivalent to MGS in practice, maps onto the MXU
             w = Mf(Af(Vm[j]))
             mask = idx <= j
-            # exact-f32 products: TPU's default bf16 matmul noise
-            # (~4e-3) on the orthogonalisation directly degrades the
-            # Krylov basis and inflates iteration counts; these are
-            # BW-bound so multi-pass f32 is free
-            hp = _HP
-            h1 = jnp.where(mask, comm.gsum(jnp.matmul(Vm, w, precision=hp)), 0.0)
-            w = w - jnp.matmul(h1, Vm, precision=hp)
-            h2 = jnp.where(mask, comm.gsum(jnp.matmul(Vm, w, precision=hp)), 0.0)
-            w = w - jnp.matmul(h2, Vm, precision=hp)
+            h1 = jnp.where(mask, comm.gsum(_mat_vec(Vm, w)), 0.0)
+            w = w - _vec_mat(h1, Vm)
+            h2 = jnp.where(mask, comm.gsum(_mat_vec(Vm, w)), 0.0)
+            w = w - _vec_mat(h2, Vm)
             hj1 = comm.norm(w)
             Vm = Vm.at[j + 1].set(w / jnp.where(hj1 < tiny, one, hj1))
             h = (h1 + h2).at[j + 1].set(hj1)     # new Hessenberg column
-            hr = jnp.matmul(G, h, precision=_HP)
+            hr = _mat_vec(G, h)
             # new Givens rotation zeroing hr[j+1] against hr[j]
             a, bb = hr[j], hr[j + 1]
             rho = jnp.sqrt(a * a + bb * bb)
@@ -375,8 +383,7 @@ def gmres(A: Callable, b, x0=None, M: Callable = None,
         g = beta * out.G[:m, 0]
         g = jnp.where(colf, g, 0.0)
         y = jax.scipy.linalg.solve_triangular(Rs, g, lower=False)
-        x_new = x + jnp.matmul(y, out.Vm[:m],
-                               precision=_HP)
+        x_new = x + _vec_mat(y, out.Vm[:m])
         rnorm = comm.norm(Mf(bf - Af(x_new)))
         return x_new, rnorm, jf + 2   # jf matvecs + initial r + final check
 

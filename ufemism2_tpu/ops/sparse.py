@@ -23,17 +23,87 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-# HIGHEST-precision (bf16x3) einsums/matmuls crash the remote-TPU
-# worker inside the full compiled model ('kernel fault'; bisected
-# round 3) while default-precision bf16-multiply/f32-accumulate
-# converges fine - CGS2 re-orthogonalisation and the Picard outer loop
-# absorb the ~1e-3 matvec noise. HIGHEST stays available for A/B runs
-# via UF_SPMV_HIGHEST=1. UF_HOST_SLAB=1 builds operator slabs
-# host-side and ships them dense (debug fallback; device-side scatter
-# expansion is ~20x faster through the tunnel and bisected safe).
-_HP = (jax.lax.Precision.HIGHEST if os.environ.get("UF_SPMV_HIGHEST")
-       else None)
+# SpMV contraction mode. The operators' coefficients span ~1e13, so the
+# TPU's default bf16-multiply einsum puts ~2e-3 relative noise directly
+# on every matvec, inflating Krylov iteration counts; explicit
+# HIGHEST-precision (bf16x3) einsums fix the accuracy but crash the
+# remote-TPU worker inside the full compiled model ('kernel fault',
+# bisected round 3), and a pure-VPU broadcast-multiply-reduce crashes it
+# too (the [n_ops, nB, R, T, 128, d] broadcast intermediate). Default is
+# therefore 'split': the coefficient slab is stored as a bf16 (hi, lo)
+# pair (same bytes as one f32 slab) and contracted with TWO
+# default-precision einsums - the one lowering proven stable on the
+# remote worker - giving ~8e-6 relative matvecs at unchanged HBM
+# traffic (these contractions are bandwidth-bound on the slab).
+#   UF_SPMV_MODE=split|einsum|vpu|einsum_highest  (UF_SPMV_HIGHEST=1 is
+#   the legacy alias for einsum_highest). UF_HOST_SLAB=1 builds operator
+#   slabs host-side and ships them dense (debug fallback; device-side
+#   scatter expansion is ~20x faster through the tunnel).
+_SPMV_MODE = os.environ.get(
+    "UF_SPMV_MODE",
+    "einsum_highest" if os.environ.get("UF_SPMV_HIGHEST") else "split")
+_HP = jax.lax.Precision.HIGHEST if _SPMV_MODE == "einsum_highest" else None
 _HOST_SLAB = bool(os.environ.get("UF_HOST_SLAB"))
+
+
+def _split_f32(a):
+    """f32 slab -> (hi, lo) bf16 pair: hi + lo == a to ~2^-17 relative."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _maybe_split(coef):
+    """Store the slab as a bf16 (hi, lo) pair in split mode (f32 only)."""
+    if _SPMV_MODE == "split" and coef.dtype == jnp.float32:
+        return _split_f32(coef)
+    return coef
+
+
+def _contract(coef, xg, sub):
+    """Contract the trailing tile axes of a coefficient slab with gathered
+    x-tiles. `coef` is either one array (einsum/vpu modes) or a bf16
+    (hi, lo) pair (split mode); `sub` is the einsum subscript."""
+    if isinstance(coef, tuple):
+        # split mode: a ~ hi + lo, x ~ xh + xl (bf16 splits); the three
+        # retained products hi*xh + hi*xl + lo*xh are each EXACT on the
+        # MXU (bf16 x bf16 -> f32 accumulate), total error ~2^-17 rel.
+        # The two hi terms ride one einsum by stacking xh/xl on the
+        # trailing vector axis, so each slab half is read exactly once.
+        hi, lo = coef
+        f32 = jnp.float32
+        xh = xg.astype(jnp.bfloat16)
+        xl = (xg - xh.astype(f32)).astype(jnp.bfloat16)
+        if sub.split("->")[0].split(",")[1].endswith("d"):   # x was 2-D
+            d = xg.shape[-1]
+            xs = jnp.concatenate([xh, xl], axis=-1)
+            y2 = jnp.einsum(sub, hi, xs, preferred_element_type=f32)
+            y = y2[..., :d] + y2[..., d:]
+            return y + jnp.einsum(sub, lo, xh, preferred_element_type=f32)
+        lhs, out = sub.split("->")
+        a_sub, x_sub = lhs.split(",")
+        subd = f"{a_sub},{x_sub}d->{out}d"
+        xs = jnp.stack([xh, xl], axis=-1)
+        y2 = jnp.einsum(subd, hi, xs, preferred_element_type=f32)
+        y = y2[..., 0] + y2[..., 1]
+        return y + jnp.einsum(sub, lo, xh, preferred_element_type=f32)
+    if _SPMV_MODE == "vpu":
+        # broadcast xg across the leading slab axes, reduce (t, w) [and d]
+        # on the VPU: exact f32 multiply-accumulate, no MXU pass
+        nb = coef.ndim - 3          # axes of coef before (r, t, w)
+        xb = xg.reshape(xg.shape[:1] + (1,) + xg.shape[1:])   # [b,1,t,w,...]
+        xb = xb.reshape((1,) * (nb - 1) + xb.shape)           # lead slab dims
+        if xg.ndim == 3:            # x was 1-D: xg [b,t,w]
+            return (coef * xb).sum((-2, -1))
+        # x was 2-D: xg [b,t,w,d] -> out [..., r, d]
+        return (coef[..., None] * xb).sum((-3, -2))
+    return jnp.einsum(sub, coef, xg,
+                      preferred_element_type=xg.dtype, precision=_HP)
+
+
+def _slab_head(coef):
+    """The representative array of a (possibly split) coefficient slab."""
+    return coef[0] if isinstance(coef, tuple) else coef
 
 
 @jax.tree_util.register_pytree_node_class
@@ -69,7 +139,10 @@ def ell_spmv(inds, vals, x):
     """y[i] = sum_k vals[i,k] * x[inds[i,k]]; x may be [n] or [n, d]."""
     g = x[inds]                      # [n_rows, K] or [n_rows, K, d]
     if g.ndim == 3:
-        return jnp.einsum("rk,rkd->rd", vals, g)
+        # elementwise multiply-reduce, not einsum: exact f32 on the VPU
+        # (the K axis is small; TPU's default bf16 einsum would put ~2e-3
+        # noise on mass-matrix/preconditioner applies)
+        return (vals[:, :, None] * g).sum(axis=1)
     return (vals * g).sum(axis=1)
 
 
@@ -128,11 +201,11 @@ class TiledEllMatrix:
 
     @property
     def R(self):
-        return self.coef.shape[1]
+        return _slab_head(self.coef).shape[1]
 
     @property
     def T(self):
-        return self.coef.shape[2]
+        return _slab_head(self.coef).shape[2]
 
     def __matmul__(self, x):
         return tiled_spmv(self, x)
@@ -160,13 +233,9 @@ def tiled_spmv(M: TiledEllMatrix, x):
     """y = M @ x for x [n_cols] or [n_cols, d]."""
     xg = _gather_tiles(M.tile_ids, x, M.n_cols)
     if x.ndim == 1:
-        y = jnp.einsum("brtw,btw->br", M.coef, xg,
-                       preferred_element_type=x.dtype,
-                       precision=_HP)
+        y = _contract(M.coef, xg, "brtw,btw->br")
         return y.reshape(-1)[: M.n_rows]
-    y = jnp.einsum("brtw,btwd->brd", M.coef, xg,
-                   preferred_element_type=x.dtype,
-                       precision=_HP)
+    y = _contract(M.coef, xg, "brtw,btwd->brd")
     return y.reshape(-1, x.shape[1])[: M.n_rows]
 
 
@@ -231,7 +300,8 @@ def tiled_from_csr(A: sp.spmatrix, R: int = 8, dtype=None) -> TiledEllMatrix:
     nB, T, tile_ids, tslot = _tiled_structure(rows, cols, n_rows, R)
     flat = ((rows // R) * R + rows % R) * (T * 128) + tslot * 128 + cols % 128
     coef = _expand_coef_on_device(flat, data, (nB, R, T, 128), dtype)
-    return TiledEllMatrix(jnp.asarray(tile_ids), coef, n_rows, n_cols)
+    return TiledEllMatrix(jnp.asarray(tile_ids), _maybe_split(coef),
+                          n_rows, n_cols)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -253,16 +323,12 @@ class TiledEllStack:
     def apply(self, x):
         """x [n_cols(,d)] -> [n_ops, n_rows(,d)]."""
         xg = _gather_tiles(self.tile_ids, x, self.n_cols)
+        n_ops = _slab_head(self.coef).shape[0]
         if x.ndim == 1:
-            y = jnp.einsum("obrtw,btw->obr", self.coef, xg,
-                           preferred_element_type=x.dtype,
-                       precision=_HP)
-            return y.reshape(self.coef.shape[0], -1)[:, : self.n_rows]
-        y = jnp.einsum("obrtw,btwd->obrd", self.coef, xg,
-                       preferred_element_type=x.dtype,
-                       precision=_HP)
-        return y.reshape(self.coef.shape[0], -1,
-                         x.shape[1])[:, : self.n_rows]
+            y = _contract(self.coef, xg, "obrtw,btw->obr")
+            return y.reshape(n_ops, -1)[:, : self.n_rows]
+        y = _contract(self.coef, xg, "obrtw,btwd->obrd")
+        return y.reshape(n_ops, -1, x.shape[1])[:, : self.n_rows]
 
     def tree_flatten(self):
         return (self.tile_ids, self.coef), (self.n_rows, self.n_cols)
@@ -297,7 +363,8 @@ def tiled_stack_from_csr(mats, R: int = 8, dtype=None) -> TiledEllStack:
         pos = order[np.searchsorted(key_sorted, mk)]
         np.add.at(vals[oi], pos, mc.data)
     coef = _expand_coef_on_device(flat, vals, (nB, R, T, 128), dtype)
-    return TiledEllStack(jnp.asarray(tile_ids), coef, n_rows, n_cols)
+    return TiledEllStack(jnp.asarray(tile_ids), _maybe_split(coef),
+                         n_rows, n_cols)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -334,10 +401,8 @@ class GroupedTiledEllStack:
         outs = []
         for tid, coef in zip(self.tile_ids, self.coef):
             xg = xt[tid]                        # [nBg, Tg, 128, d]
-            y = jnp.einsum("obrtw,btwd->obrd", coef, xg,
-                           preferred_element_type=x.dtype,
-                       precision=_HP)
-            outs.append(y.reshape(coef.shape[0], -1, d))
+            y = _contract(coef, xg, "obrtw,btwd->obrd")
+            outs.append(y.reshape(_slab_head(coef).shape[0], -1, d))
         yall = jnp.concatenate(outs, axis=1)[:, self.inv_rows]
         return yall[..., 0] if vec else yall
 
@@ -403,7 +468,7 @@ def grouped_stack_from_csr(mats, R: int = 8, dtype=None,
             np.add.at(coef, (oi, bpos[bb], rr % R, ss, cc % 128), dd)
         ginfo.append(bs)
         tid_groups.append(jnp.asarray(tid))
-        coef_groups.append(jnp.asarray(coef, dtype=dtype))
+        coef_groups.append(_maybe_split(jnp.asarray(coef, dtype=dtype)))
     bs_all = np.concatenate(ginfo)
     row_perm = (bs_all[:, None] * R + np.arange(R)[None, :]).reshape(-1)
     inv = np.zeros(nB * R, np.int64)
