@@ -225,6 +225,139 @@ def make_A(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
     return A
 
 
+BJD_BLOCK = 64     # triangles per dense Jacobi block (128x128 (u,v) system)
+
+
+def register_bjdense_static(mesh, md: MeshData):
+    """Static tables for the dense block-Jacobi preconditioner: for each
+    Morton-contiguous block of BJD_BLOCK triangles, the in-block entries
+    of the 5 shared-pattern b-grid operators plus flat scatter indices
+    into the [nB, 128, 128] dense (u,v) blocks. TPU-native substitute for
+    the strength class of PETSc's bjacobi+ILU (petsc_basic.f90): exact
+    dense solves on 64-triangle subdomains, batch-inverted on the MXU
+    each viscosity iteration. Single-device only (the tables live in
+    nnz space, which the dist layer does not shard)."""
+    if "bjd_vals" in md.extras:
+        return
+    ops = mesh.operators
+    mats = [ops.M2_ddx_b_b.tocsr(), ops.M2_ddy_b_b.tocsr(),
+            ops.M2_d2dx2_b_b.tocsr(), ops.M2_d2dxdy_b_b.tocsr(),
+            ops.M2_d2dy2_b_b.tocsr()]
+    nTri = mats[0].shape[0]
+    B = BJD_BLOCK
+    nB = (nTri + B - 1) // B
+    U = (abs(mats[0]) + abs(mats[1]) + abs(mats[2]) + abs(mats[3])
+         + abs(mats[4])).tocoo()
+    r = U.row.astype(np.int64)
+    c = U.col.astype(np.int64)
+    sel = (r // B) == (c // B)
+    r, c = r[sel], c[sel]
+    vals5 = np.zeros((len(r), 5))
+    q = r * nTri + c
+    for k, m in enumerate(mats):
+        mc = m.tocoo()
+        key = mc.row.astype(np.int64) * nTri + mc.col.astype(np.int64)
+        order = np.argsort(key)
+        ks = key[order]
+        pos = np.minimum(np.searchsorted(ks, q), len(ks) - 1)
+        hit = ks[pos] == q
+        vals5[hit, k] = mc.data[order][pos][hit]
+    base = (r // B) * (128 * 128) + (2 * (r % B)) * 128 + 2 * (c % B)
+    rows_all = np.arange(nB * B, dtype=np.int64)
+    diag = ((rows_all // B) * (128 * 128)
+            + (2 * (rows_all % B)) * 128 + 2 * (rows_all % B))
+    dt = md.A.dtype
+    md.extras.update({
+        "bjd_vals": EField(jnp.asarray(vals5, dt), "BJDnnz"),
+        "bjd_rows": EField(jnp.asarray(r, jnp.int32), "BJDnnz"),
+        "bjd_base": EField(jnp.asarray(base, jnp.int32), "BJDnnz"),
+        "bjd_diag": EField(jnp.asarray(diag, jnp.int32), "BJDrow"),
+        "bjd_row_valid": EField(jnp.asarray(rows_all < nTri), "BJDrow"),
+    })
+
+
+def make_precond_dense(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
+    """Dense block-Jacobi: assemble the in-block entries of the
+    linearised operator (same weights as make_A) into [nB, 128, 128]
+    (u,v) blocks, batch-invert, apply as one batched matmul. BC rows keep
+    the 2x2 scheme's diagonal approximation."""
+    bc_free = md.x("ssa_bc_free")
+    bc_inf_u = md.x("ssa_bc_inf_u")
+    bc_inf_v = md.x("ssa_bc_inf_v")
+    n_nbr = md.mask_TriC.sum(axis=1).astype(N_b.dtype)
+    v5 = md.x("bjd_vals")
+    rsel = md.x("bjd_rows")
+    base = md.x("bjd_base")
+    diag = md.x("bjd_diag")
+    row_valid = md.x("bjd_row_valid")
+    nTri = N_b.shape[0]
+    B = BJD_BLOCK
+    nB = row_valid.shape[0] // B
+    dt = N_b.dtype
+
+    Nr = N_b[rsel]
+    dxr = dN_dx_b[rsel]
+    dyr = dN_dy_b[rsel]
+    ddx, ddy, dxx, dxy, dyy = (v5[:, k] for k in range(5))
+    e_uu = 4 * Nr * dxx + 4 * dxr * ddx + Nr * dyy + dyr * ddy
+    e_uv = 3 * Nr * dxy + 2 * dxr * ddy + dyr * ddx
+    e_vu = 3 * Nr * dxy + 2 * dyr * ddx + dxr * ddy
+    e_vv = 4 * Nr * dyy + 4 * dyr * ddy + Nr * dxx + dxr * ddx
+    if front is not None:
+        is_front, off, n_x, n_y = front
+        fr = is_front[rsel]
+        nxr, nyr = n_x[rsel], n_y[rsel]
+        e_uu = jnp.where(fr, 4 * Nr * nxr * ddx + Nr * nyr * ddy, e_uu)
+        e_vv = jnp.where(fr, 4 * Nr * nyr * ddy + Nr * nxr * ddx, e_vv)
+        e_uv = jnp.where(fr, 2 * Nr * nxr * ddy + Nr * nyr * ddx, e_uv)
+        e_vu = jnp.where(fr, 2 * Nr * nyr * ddx + Nr * nxr * ddy, e_vu)
+        ok_r = (bc_free | is_front)[rsel] & ~off[rsel]
+    else:
+        ok_r = bc_free[rsel]
+    e_uu = jnp.where(ok_r, e_uu, 0.0)
+    e_uv = jnp.where(ok_r, e_uv, 0.0)
+    e_vu = jnp.where(ok_r, e_vu, 0.0)
+    e_vv = jnp.where(ok_r, e_vv, 0.0)
+
+    blocks = jnp.zeros(nB * 128 * 128, dt)
+    blocks = (blocks.at[base].add(e_uu)
+                    .at[base + 1].add(e_uv)
+                    .at[base + 128].add(e_vu)
+                    .at[base + 129].add(e_vv))
+    # per-row diagonal terms: -beta_eff on free rows (operator diagonals
+    # are already in the scatter), BC diagonal on constrained rows,
+    # identity on block-padding rows (keeps every column nonsingular)
+    pad = lambda a, fill: jnp.full(nB * B, fill, a.dtype).at[:nTri].set(a)
+    freep = pad(bc_free, False) & row_valid
+    if front is not None:
+        is_front, off, _, _ = front
+        freep = (pad(bc_free | is_front, False) & ~pad(off, True)) \
+            & row_valid
+    betap = pad(beta_eff_b.astype(dt), 0.0)
+    nnbrp = pad(n_nbr, 1.0)
+    d_uu = jnp.where(freep, -betap,
+                     jnp.where(pad(bc_inf_u, False), -nnbrp, 1.0))
+    d_vv = jnp.where(freep, -betap,
+                     jnp.where(pad(bc_inf_v, False), -nnbrp, 1.0))
+    # front rows have no diagonal beta term
+    if front is not None:
+        frp = pad(front[0], False) & row_valid
+        d_uu = jnp.where(frp, 0.0, d_uu)
+        d_vv = jnp.where(frp, 0.0, d_vv)
+    blocks = blocks.at[diag].add(d_uu).at[diag + 129].add(d_vv)
+    Minv = jnp.linalg.inv(blocks.reshape(nB, 128, 128))
+
+    def M(r):
+        ru, rv = r
+        rp = jnp.zeros((nB * B, 2), dt).at[:nTri].set(
+            jnp.stack([ru, rv], axis=-1))
+        yb = jnp.einsum("bij,bj->bi", Minv, rp.reshape(nB, 128),
+                        preferred_element_type=dt)
+        y = yb.reshape(nB * B, 2)[:nTri]
+        return y[:, 0], y[:, 1]
+    return M
+
+
 def make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
     """2x2 block-Jacobi: invert the per-triangle (u,v) diagonal block."""
     bc_free = md.x("ssa_bc_free")
@@ -316,6 +449,9 @@ def register_ssadiva_static(C, mesh, md: MeshData):
                     ("ssa_d_dyy", ops.M2_d2dy2_b_b)]:
         md.extras[name] = EField(jnp.asarray(M.diagonal(), dt), "Tri")
     md.ssa_has_fix = bool(bc.fix_u.any() or bc.fix_v.any())
+    if getattr(C, "tpu_stress_balance_precond", "") == "block_dense":
+        # nnz-space tables: single-device only (see register_bjdense_static)
+        register_bjdense_static(mesh, md)
 
     from .sliding import register_sliding_static
     register_sliding_static(C, mesh, md)
@@ -524,6 +660,9 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
                 Mp = make_chebyshev_preconditioner(A, M, precond_deg, lam)
             elif precond_kind == "neumann":
                 Mp = make_neumann_preconditioner(A, M, precond_deg)
+            elif precond_kind == "block_dense" and "bjd_vals" in md.extras:
+                Mp = make_precond_dense(md, N_b, dN_dx_b, dN_dy_b,
+                                        beta_eff_b, front=front)
             else:
                 Mp = M
             res = gmres(A, (b_u, b_v), x0=(c.u, c.v), M=Mp,

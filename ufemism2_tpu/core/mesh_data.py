@@ -27,7 +27,7 @@ def _build_m2_stack(mats, dtype):
     gather defeated XLA's fusion in the round-2 (noisy-einsum) context;
     UF_M2_LAYOUT=grouped re-enables it for A/B runs (PERF_NOTES.md)."""
     import os
-    if os.environ.get("UF_M2_LAYOUT") == "grouped":
+    if os.environ.get("UF_M2_LAYOUT") in ("grouped", "pallas"):
         return grouped_stack_from_csr(mats, dtype=dtype)
     return tiled_stack_from_csr(mats, dtype=dtype)
 

@@ -52,6 +52,12 @@ class ModelRegion:
     output_dir: Optional[str] = None
     # max model-years per on-device fast-forward dispatch (see run_to)
     max_ff_years: float = 50.0
+    # ... and max ice-dynamics steps per dispatch: with dt at dt_ice_min
+    # (thin-slab spinups) a 50-yr window is 500 solver steps in ONE
+    # dispatch, which reliably trips the remote tunnel's liveness
+    # watchdog ('TPU worker crashed'); the window is additionally bounded
+    # by max_ff_steps * current dt
+    max_ff_steps: int = 80
 
     def __post_init__(self):
         C = self.C
@@ -343,9 +349,13 @@ class ModelRegion:
 
     def _log_checksums(self):
         """Checksum the hot ice fields after each ice-dynamics dispatch
-        (the reference's call points, ice_dynamics_main.f90:153-162)."""
+        (the reference's call points, ice_dynamics_main.f90:153-162).
+        The prognostic thickness lives in (Hi_prev, Hi_next); s.Hi is only
+        refreshed at output events, so interpolate to the current model
+        time first or the logged geometry is stale."""
         import jax
-        s = self.state
+        from ..core.ice.pc import interpolate_ice_to_time
+        s = interpolate_ice_to_time(self.state, self.time)
         names = ("Hi", "Hs", "Hib", "TAF", "dHi_dt",
                  "u_vav_b", "v_vav_b", "Ti")
         vals = jax.device_get([getattr(s, n) for n in names])
@@ -563,7 +573,12 @@ class ModelRegion:
                     # multi-minute dispatch can trip the axon tunnel's
                     # liveness watchdog ('TPU worker crashed'); chunking
                     # costs one host round-trip per chunk, nothing more
-                    t_stop = min(t_stop, t_hi + self.max_ff_years)
+                    dt_cur = float(self.state.dt_ice)
+                    if not (dt_cur > 0.0):
+                        dt_cur = C.dt_ice_min
+                    ff = min(self.max_ff_years,
+                             self.max_ff_steps * max(dt_cur, C.dt_ice_min))
+                    t_stop = min(t_stop, t_hi + ff)
                     if t_stop > t_hi + 1e-9:
                         if self._dist is not None:
                             # sharded fast-forward over the device mesh;

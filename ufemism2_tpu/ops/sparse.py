@@ -44,13 +44,38 @@ _SPMV_MODE = os.environ.get(
     "einsum_highest" if os.environ.get("UF_SPMV_HIGHEST") else "split")
 _HP = jax.lax.Precision.HIGHEST if _SPMV_MODE == "einsum_highest" else None
 _HOST_SLAB = bool(os.environ.get("UF_HOST_SLAB"))
+# UF_M2_LAYOUT=pallas routes GroupedTiledEllStack.apply through the
+# per-bucket Pallas kernel (ops/pallas_spmv.py); requires split mode
+_PALLAS_STACK = os.environ.get("UF_M2_LAYOUT") == "pallas"
+# x-operand handling inside split-mode _contract. 'none' (default)
+# rounds x to bf16 (2e-3 noise on the x side only; the slab side stays
+# exact): measured 74 its/solve on the MISMIP 8 km DIVA probe. 'bits'
+# adds the exact hi*xl correction term - mathematically strictly more
+# accurate, yet measured 377 its/solve on the same probe: the exact
+# operator exposes the true stagnation of BJ-GMRES(60) on the membrane
+# operator's near-null shelf modes, which the x-rounding noise was
+# stochastically regularising. Revisit with the dense block-Jacobi
+# preconditioner (PERF_NOTES round 3).
+_X_SPLIT = os.environ.get("UF_X_SPLIT", "none")
 
 
 def _split_f32(a):
-    """f32 slab -> (hi, lo) bf16 pair: hi + lo == a to ~2^-17 relative."""
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    """f32 array -> (hi, lo) bf16 pair: hi + lo == a to ~2^-17 relative.
+
+    The split is done by BIT TRUNCATION (top 16 bits -> hi), not by
+    round-and-subtract: XLA's algebraic simplifier folds
+    `a - f32(bf16(a))` to zero inside jit (convert ops are treated as
+    value-preserving), silently degrading the pair to plain bf16. The
+    truncated hi is exactly representable in bf16 and `a - hi` is exact
+    in f32 (it is a's low mantissa bits), so only the final bf16
+    rounding of lo loses information (~2^-17 of a)."""
+    u = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    # +0x8000 rounds to nearest bf16 instead of truncating (bit patterns
+    # are monotonic in magnitude; fine for all finite non-huge values)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        (u + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = (a - hi_f32).astype(jnp.bfloat16)
+    return hi_f32.astype(jnp.bfloat16), lo
 
 
 def _maybe_split(coef):
@@ -65,15 +90,20 @@ def _contract(coef, xg, sub):
     x-tiles. `coef` is either one array (einsum/vpu modes) or a bf16
     (hi, lo) pair (split mode); `sub` is the einsum subscript."""
     if isinstance(coef, tuple):
-        # split mode: a ~ hi + lo, x ~ xh + xl (bf16 splits); the three
-        # retained products hi*xh + hi*xl + lo*xh are each EXACT on the
-        # MXU (bf16 x bf16 -> f32 accumulate), total error ~2^-17 rel.
-        # The two hi terms ride one einsum by stacking xh/xl on the
-        # trailing vector axis, so each slab half is read exactly once.
+        # split mode: a ~ hi + lo (bf16 pair, exact to ~2^-17). Each
+        # product below is EXACT on the MXU (bf16 x bf16 -> f32 acc).
         hi, lo = coef
         f32 = jnp.float32
-        xh = xg.astype(jnp.bfloat16)
-        xl = (xg - xh.astype(f32)).astype(jnp.bfloat16)
+        if _X_SPLIT == "none":
+            # slab exact, x rounded to bf16 (~2e-3 on the x side): the
+            # measured sweet spot (see PERF_NOTES noise-regularisation
+            # anomaly) - two plain einsums, same slab bytes as one f32
+            xh = xg.astype(jnp.bfloat16)
+            return (jnp.einsum(sub, hi, xh, preferred_element_type=f32)
+                    + jnp.einsum(sub, lo, xh, preferred_element_type=f32))
+        # fully exact (~8e-6): x split too; the two hi terms ride one
+        # einsum by stacking xh/xl on the trailing vector axis
+        xh, xl = _split_f32(xg.astype(f32))
         if sub.split("->")[0].split(",")[1].endswith("d"):   # x was 2-D
             d = xg.shape[-1]
             xs = jnp.concatenate([xh, xl], axis=-1)
@@ -391,6 +421,9 @@ class GroupedTiledEllStack:
 
     def apply(self, x):
         """x [n_cols(,d)] -> [n_ops, n_rows(,d)]."""
+        if _PALLAS_STACK and isinstance(self.coef[0], tuple):
+            from .pallas_spmv import grouped_apply_pallas
+            return grouped_apply_pallas(self, x)
         ncp = ((self.n_cols + 127) // 128) * 128
         vec = x.ndim == 1
         if vec:
@@ -438,8 +471,8 @@ def grouped_stack_from_csr(mats, R: int = 8, dtype=None,
     slot_of_pair = np.arange(len(pairs)) - first[pb]
     # slot lookup for (block, tile) pairs, vectorised
     pair_key = pb * nct + pt
-    assert int(T_of_b.max()) <= bounds[-1], \
-        f"block tile count {T_of_b.max()} exceeds the largest bucket"
+    while int(T_of_b.max()) > bounds[-1]:
+        bounds = tuple(bounds) + (2 * bounds[-1],)   # extend for bad meshes
     group_of_b = np.searchsorted(bounds, np.maximum(T_of_b, 1))
     order = np.argsort(group_of_b, kind="stable")
 

@@ -200,10 +200,31 @@ _M2_NAMES = ["M2_ddx_b_b", "M2_ddy_b_b", "M2_d2dx2_b_b", "M2_d2dxdy_b_b",
              "M2_d2dy2_b_b"]
 
 
-def _ell_arrays(M: EllMatrix):
-    inds = np.asarray(M.inds)
-    vals = np.asarray(M.vals)
+def _ell_arrays(M, mesh=None, name=None):
+    """Padded ELL (inds, vals, mask) for one mesh operator. f64 meshes
+    store gather-ELL (device arrays reused directly); f32 meshes store
+    TiledEllMatrix slabs, so rebuild the ELL form from the host-side
+    scipy CSR in mesh.operators instead."""
+    if isinstance(M, EllMatrix):
+        inds = np.asarray(M.inds)
+        vals = np.asarray(M.vals)
+        return inds, vals, vals != 0
+    A = _op_csr(mesh, name)
+    counts = np.diff(A.indptr)
+    K = max(int(counts.max()) if len(counts) else 1, 1)
+    inds = np.zeros((A.shape[0], K), np.int32)
+    vals = np.zeros((A.shape[0], K), np.float64)
+    row_of = np.repeat(np.arange(A.shape[0]), counts)
+    pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+    inds[row_of, pos] = A.indices
+    vals[row_of, pos] = A.data
     return inds, vals, vals != 0
+
+
+def _op_csr(mesh, name):
+    A = getattr(mesh.operators, name).tocsr()
+    A.sum_duplicates()
+    return A
 
 
 def build_dist_md(mesh, md: MeshData, n_parts: int):
@@ -227,7 +248,7 @@ def build_dist_md(mesh, md: MeshData, n_parts: int):
     # -- collect references ---------------------------------------------
     op_arrays = {}
     for name, (rs, cs) in _OP_SPACES.items():
-        inds, vals, m = _ell_arrays(getattr(md, name))
+        inds, vals, m = _ell_arrays(getattr(md, name), mesh, name)
         op_arrays[name] = (inds, vals, m)
         rd = np.broadcast_to(dev_of[rs][:, None], inds.shape)
         spaces[cs].add_refs(rd[m], inds[m])
@@ -280,7 +301,8 @@ def build_dist_md(mesh, md: MeshData, n_parts: int):
         n_pad_r = spaces[rs].nL * Pn
         return DistEllMatrix(
             jnp.asarray(_pad_rows(ext, n_pad_r, 0)),
-            jnp.asarray(_pad_rows(vals, n_pad_r, 0)),
+            jnp.asarray(_pad_rows(vals, n_pad_r, 0),
+                        dtype=np.asarray(md.A).dtype),
             spaces[cs].tables,
             spaces[cs].nL + spaces[cs].Hh)
 
@@ -288,7 +310,9 @@ def build_dist_md(mesh, md: MeshData, n_parts: int):
 
     # fused M2 stack on the union sparsity (one halo exchange, one gather)
     from ..ops.sparse import csr_from_ell
-    m2_csr = [csr_from_ell(getattr(md, n)) for n in _M2_NAMES]
+    m2_csr = [csr_from_ell(getattr(md, n))
+              if isinstance(getattr(md, n), EllMatrix)
+              else _op_csr(mesh, n) for n in _M2_NAMES]
     U = (sum((A != 0).astype(np.int8) for A in m2_csr)).tocsr()
     U.sum_duplicates()
     U.sort_indices()
@@ -325,6 +349,11 @@ def build_dist_md(mesh, md: MeshData, n_parts: int):
     n_pad = {s: spaces[s].nL * Pn for s in spaces}
     extras_x = {}
     for name, e in (md.extras or {}).items():
+        if e.row not in spaces:
+            # non-entity-space tables (e.g. the dense block-Jacobi nnz
+            # tables, row='BJDnnz') are single-device-only: drop them and
+            # let the consumer fall back (ssadiva make_solve checks)
+            continue
         if isinstance(e, EIndex):
             arr, m = extra_idx[name]
             ext = spaces[e.col].reindex(dev_of[e.row], arr, m)
