@@ -24,7 +24,13 @@ def calc_ice_rheology_glen(C, md, Hi, Hs, Ti, mask_grounded, mask_floating,
     """A_flow [nV, nz] in Pa^-n yr^-1."""
     choice = C.choice_ice_rheology_Glen
     if choice == "uniform":
-        A = jnp.full(Ti.shape, C.uniform_Glens_flow_factor, Ti.dtype)
+        A0 = C.uniform_Glens_flow_factor
+        if md is not None and md.extras and "glen_A_scale" in md.extras:
+            # dynamic multiplier: MISMIP+ flow-factor tuning adjusts it
+            # between coupling intervals WITHOUT re-tracing the step
+            # (inversion_utilities.f90 MISMIPplus_adapt_flow_factor)
+            A0 = A0 * md.x("glen_A_scale").astype(Ti.dtype)
+        A = jnp.broadcast_to(jnp.asarray(A0, Ti.dtype), Ti.shape)
     elif choice == "Huybrechts1992":
         A = jnp.where(Ti < _T_SWITCH,
                       _A_LOW * jnp.exp(-_Q_LOW / (_R_GAS * Ti)),

@@ -146,6 +146,16 @@ def mismipplus_adapt_flow_factor(C, region):
     x_GL = (1 - lam) * xs[i] + lam * xs[i + 1]
 
     f = 2.0 ** ((x_GL - 450e3) / 80000.0)
+    if region.md.extras and "glen_A_scale" in region.md.extras:
+        # dynamic multiplier traced through md: update in place, no
+        # re-jit (the rheology reads C.uniform_Glens_flow_factor *
+        # glen_A_scale; see core/ice/rheology.py)
+        e = region.md.extras["glen_A_scale"]
+        e.arr = e.arr * f
+        A_eff = C.uniform_Glens_flow_factor * float(np.asarray(e.arr))
+        happy("    MISMIPplus_adapt_flow_factor: x_GL = {:.1f} km; "
+              "flow factor -> {:.3e}", x_GL / 1e3, A_eff)
+        return C
     C = C.replace(
         uniform_Glens_flow_factor=C.uniform_Glens_flow_factor * f)
     region.C = C

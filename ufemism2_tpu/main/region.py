@@ -68,6 +68,14 @@ class ModelRegion:
             import jax.numpy as _jnp
             dtype = _jnp.float32 if C.tpu_precision == "f32" else None
             self.md = build_mesh_data(self.mesh, dtype=dtype)
+            if C.refgeo_idealised_MISMIPplus_tune_A \
+                    and C.choice_ice_rheology_Glen == "uniform":
+                # dynamic flow-factor multiplier: the MISMIP+ tuning loop
+                # (main/program.py mismipplus_adapt_flow_factor) updates
+                # it in place between coupling intervals with NO re-trace
+                from ..core.mesh_data import EField
+                self.md.extras["glen_A_scale"] = EField(
+                    _jnp.asarray(1.0, self.md.A.dtype), "scalar")
 
             # initial geometry on the mesh vertices
             choice = getattr(C, f"choice_refgeo_init_{self.name}")
@@ -806,7 +814,11 @@ def _region_update_mesh(region):
 
     region.mesh = new_mesh
     dtype = jnp.float32 if C.tpu_precision == "f32" else None
+    glen_scale = (s_md.extras.get("glen_A_scale")
+                  if (s_md := region.md).extras else None)
     region.md = build_mesh_data(new_mesh, dtype=dtype)
+    if glen_scale is not None:
+        region.md.extras["glen_A_scale"] = glen_scale
     Hi_new = jnp.maximum(0.0, jnp.asarray(M_cons_a @ np.asarray(s.Hi)))
     new_state = init_ice_state(region.md, Hi_new,
                                jnp.asarray(M_cons_a @ np.asarray(s.Hb)),

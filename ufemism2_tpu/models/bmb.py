@@ -70,12 +70,13 @@ def make_run_bmb(C, md, region_name: str):
                 shelf = jnp.full(nV, C.uniform_BMB, dtype)
                 return _finalise(C, masks, fraction_gr, shelf)
             return run
-        if sub == "MISMIPplus":
+        if sub in ("MISMIPplus", "MISMIP+"):   # both accepted, BMB_idealised.f90:46-48
             # Asay-Davis et al. (2016) ice1r melt parameterisation
             def run(time, s, masks, fraction_gr, ocean=None):
                 draft = s.Hib
                 z0 = -100.0
-                melt = 0.2 * jnp.tanh((draft - s.Hb) / 75.0) \
+                cavity = jnp.maximum(0.0, draft - s.Hb)   # BMB_idealised.f90:81
+                melt = 0.2 * jnp.tanh(cavity / 75.0) \
                     * jnp.maximum(0.0, z0 - draft)
                 return _finalise(C, masks, fraction_gr, -melt)
             return run

@@ -232,30 +232,16 @@ def run_ismip_hom_matrix(scoreboard_dir=None, experiments=("A", "B", "C",
 # (after ice1r retreat), wobble bound.
 # ---------------------------------------------------------------------------
 
-def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
-                          end_time=None, dt_restart=500.0, **overrides):
-    """The real MISMIP+ gate: the reference's 5 km spinup
-    (config_01_5km_spinup_part0.cfg, 20 kyr to steady state; the GL must
-    end near x = 450 km, analyse_integrated_test.m:51). Writes restart
-    files every dt_restart model-years and RESUMES from the newest one on
-    a fresh call with the same output_dir, so a run interrupted by a
-    device/worker drop continues instead of restarting (the reference
-    gets the same from its restart machinery, UFEMISM_main_model.f90).
-    """
+def _mismip_resume_region(C, output_dir):
+    """(region, resumed) for a MISMIP+ leg: resume from the newest
+    restart in output_dir if one exists (device/worker drops through the
+    tunnel are routine; the reference gets the same robustness from its
+    restart machinery, UFEMISM_main_model.f90)."""
     import glob
-    import jax
+    import json
     from ..mesh.mesh_types import mesh_from_points
-    from ..io.output_files import load_restart_file
     from ..io.ncio import NCFile
-    from ..models.transects import Transect
-
-    cfg = REF_TESTS / "idealised/MISMIPplus/config_01_5km_spinup_part0.cfg"
-    over = {"refgeo_idealised_MISMIPplus_Hi_init": 100.0,
-            "dt_output_restart": dt_restart}
-    over.update(overrides)
-    if end_time is not None:
-        over["end_time_of_run"] = end_time
-    C = _load(cfg, **over)
+    from ..main.region import ModelRegion
 
     restarts = sorted(glob.glob(str(Path(output_dir) / "restart_ANT_*.nc"))
                       + glob.glob(str(Path(output_dir) / "ANT"
@@ -285,22 +271,159 @@ def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
         else:
             resume_path = None
 
-    from ..main.region import ModelRegion
     r = ModelRegion(C, "ANT", mesh=mesh, output_dir=output_dir)
     if resume_path is not None:
         r.resume_from_restart(resume_path)
-    r.run_to(C.end_time_of_run)
+        # restore the tuned flow-factor scale alongside the state
+        sf = Path(output_dir) / "glen_A_scale.json"
+        if sf.exists() and r.md.extras and "glen_A_scale" in r.md.extras:
+            import jax.numpy as jnp
+            scale = json.loads(sf.read_text())["scale"]
+            e = r.md.extras["glen_A_scale"]
+            e.arr = jnp.asarray(scale, e.arr.dtype)
+            print(f"[gate] restored glen_A_scale = {scale:.6f}", flush=True)
+    return r, resume_path is not None
 
+
+def _x_GL_westeast(r):
+    from ..models.transects import Transect
     tr = Transect.named(r.mesh, "westeast", dx=1e3)
     taf = tr.sample_vertices(np.asarray(r.state.TAF))
-    x_GL = tr.zero_crossing_distance(taf) + r.mesh.xmin
+    return tr.zero_crossing_distance(taf) + r.mesh.xmin
 
+
+def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
+                          end_time=None, dt_restart=500.0, **overrides):
+    """The real MISMIP+ gate: the reference's 5 km spinup
+    (config_01_5km_spinup_part0.cfg, 20 kyr to steady state with the
+    flow factor auto-tuned so the GL settles at x = 450 km,
+    analyse_integrated_test.m:51 + UFEMISM_program.f90:114-123). Writes
+    restart files every dt_restart model-years and RESUMES from the
+    newest one on a fresh call with the same output_dir."""
+    import json
+    from ..main.program import mismipplus_adapt_flow_factor
+
+    cfg = REF_TESTS / "idealised/MISMIPplus/config_01_5km_spinup_part0.cfg"
+    over = {"refgeo_idealised_MISMIPplus_Hi_init": 100.0,
+            "dt_output_restart": dt_restart}
+    over.update(overrides)
+    if end_time is not None:
+        over["end_time_of_run"] = end_time
+    C = _load(cfg, **over)
+
+    r, _ = _mismip_resume_region(C, output_dir)
+
+    # coupling loop with the MISMIP+ flow-factor tuning (the reference
+    # tunes every dt_coupling once Hs has stabilised to 0.5%)
+    t = float(r.time)
+    Hs_cur = 1.0
+    sf = Path(output_dir) / "glen_A_scale.json"
+    while t < C.end_time_of_run - 1e-9:
+        t_next = min(t + C.dt_coupling, C.end_time_of_run)
+        r.run_to(t_next)
+        t = t_next
+        if C.refgeo_idealised_MISMIPplus_tune_A:
+            Hs_prev = Hs_cur
+            Hs_cur = float(np.asarray(r.state.Hs).max())
+            if abs(1.0 - Hs_cur / Hs_prev) < 5.0e-3:
+                mismipplus_adapt_flow_factor(C, r)
+                if r.md.extras and "glen_A_scale" in r.md.extras:
+                    sf.write_text(json.dumps({
+                        "scale": float(np.asarray(
+                            r.md.extras["glen_A_scale"].arr)),
+                        "A0": C.uniform_Glens_flow_factor, "t": t}))
+
+    x_GL = _x_GL_westeast(r)
     run = ScoreboardRun(name="MISMIPplus_5km_spinup",
                         category="integrated_tests/idealised/MISMIPplus")
     run.add_cost_function("x_GL_km", "mid-channel grounding-line position",
                           x_GL / 1e3)
     run.add_cost_function("err_x_GL_init", "abs( x_GL - 450e3)",
                           abs(x_GL - 450e3))
+    run.add_stability_info(_stability(r))
+    if scoreboard_dir:
+        run.write(scoreboard_dir)
+    return run
+
+
+def run_mismipplus_ice1r(spinup_dir, output_dir, scoreboard_dir=None,
+                         end_time=None, **overrides):
+    """MISMIP+ ice1r retreat leg (config_03_5km_ice1r.cfg): resume from
+    the spinup's newest restart (with its tuned flow factor), switch on
+    the Asay-Davis/Cornford melt, run 100 yr sampling the mid-channel GL
+    every year, and score the reference's cost functions
+    (analyse_integrated_test.m:51-54): err_x_GL_init vs 450 km, final GL
+    inside [350, 420] km, wobble of the 7-pass-smoothed series."""
+    import glob
+    import json
+    import shutil
+
+    cfg = REF_TESTS / "idealised/MISMIPplus/config_03_5km_ice1r.cfg"
+    over = {"choice_refgeo_init_ANT": "idealised",
+            "choice_refgeo_init_idealised": "MISMIPplus",
+            "refgeo_idealised_MISMIPplus_Hi_init": 100.0,
+            # resume supplies mesh+state; keep the tuning slot alive so
+            # the spinup's tuned scale can be restored into it
+            "refgeo_idealised_MISMIPplus_tune_A": True}
+    over.update(overrides)
+    if end_time is not None:
+        over["end_time_of_run"] = end_time
+    C = _load(cfg, **over)
+
+    # seed output_dir with the spinup's newest restart + tuned scale
+    Path(output_dir).mkdir(parents=True, exist_ok=True)
+    if not glob.glob(str(Path(output_dir) / "restart_ANT_*.nc")):
+        from ..io.ncio import NCFile
+        src = sorted(glob.glob(str(Path(spinup_dir) / "restart_ANT_*.nc")))
+
+        def _rt(p):
+            try:
+                with NCFile(p) as nc:
+                    return float(np.asarray(nc.read("time")).reshape(-1)[0])
+            except Exception:
+                return -np.inf
+        newest = max(src, key=_rt)
+        shutil.copy(newest, Path(output_dir) / "restart_ANT_00001.nc")
+        # ice1r restarts its clock at 0 regardless of spinup time
+        sfs = Path(spinup_dir) / "glen_A_scale.json"
+        if sfs.exists():
+            shutil.copy(sfs, Path(output_dir) / "glen_A_scale.json")
+
+    r, resumed = _mismip_resume_region(C, output_dir)
+    assert resumed, "ice1r must start from a spinup restart"
+    t0 = float(r.time)
+
+    x_series_file = Path(output_dir) / "x_GL_series.json"
+    x_GL = [] if not x_series_file.exists() \
+        else json.loads(x_series_file.read_text())["x_GL"]
+    t_end = t0 + (C.end_time_of_run - C.start_time_of_run) \
+        if t0 > C.end_time_of_run else C.end_time_of_run
+    t = t0
+    if not x_GL:
+        x_GL.append(_x_GL_westeast(r))
+    while t < t_end - 1e-9:
+        t = min(t + 1.0, t_end)
+        r.run_to(t)
+        x_GL.append(_x_GL_westeast(r))
+        x_series_file.write_text(json.dumps({"x_GL": x_GL, "t": t}))
+
+    x = np.asarray(x_GL, float)
+    xs = x.copy()
+    for _ in range(7):   # analyse_integrated_test.m:43-48
+        xs[1:-1] = 0.25 * xs[:-2] + 0.5 * xs[1:-1] + 0.25 * xs[2:]
+
+    run = ScoreboardRun(name="MISMIPplus_5km_ice1r",
+                        category="integrated_tests/idealised/MISMIPplus")
+    run.add_cost_function("err_x_GL_init", "abs( x_GL(1) - 450e3)",
+                          abs(x[0] - 450e3))
+    run.add_cost_function("err_x_GL_final_lo",
+                          "abs( min( 0, x_GL(end) - 350e3))",
+                          abs(min(0.0, x[-1] - 350e3)))
+    run.add_cost_function("err_x_GL_final_hi",
+                          "abs( max( 0, x_GL(end) - 420e3))",
+                          abs(max(0.0, x[-1] - 420e3)))
+    run.add_cost_function("var_x_GL", "max( abs( x_GL_smooth - x_GL))",
+                          float(np.abs(xs - x).max()))
     run.add_stability_info(_stability(r))
     if scoreboard_dir:
         run.write(scoreboard_dir)
