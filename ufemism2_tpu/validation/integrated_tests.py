@@ -475,14 +475,15 @@ _OCTANTS = ("east", "northeast", "north", "northwest",
             "west", "southwest", "south", "southeast")
 
 
-def _transfer_geometry(region_prev, C_next):
+def _transfer_geometry(region_prev, C_next, r_next=None):
     """Hand the final (Hi, Hb, SL) of one leg to the next leg's fresh
     mesh by trilinear mesh-to-point interpolation (the reference chains
     legs through main-output files + read_from_file geometry;
     in-process the remap atlas map does the same job)."""
     from ..remap.conservative import build_map_trilin_mesh_to_points
     from ..main.region import ModelRegion
-    r_next = ModelRegion(C_next, "ANT")
+    if r_next is None:
+        r_next = ModelRegion(C_next, "ANT")
     M = build_map_trilin_mesh_to_points(region_prev.mesh, r_next.mesh.V)
     Hi = np.maximum(0.0, M @ np.asarray(region_prev.state.Hi))
     Hb = M @ np.asarray(region_prev.state.Hb)
@@ -518,36 +519,38 @@ def run_mismip_mod(scoreboard_dir=None, output_dir=None, scale=1.0,
                    t_spin40=None, t_spin10=None, t_adv=None, t_ret=None):
     """Full MISMIP_mod hysteresis chain. scale < 1 shortens every leg
     proportionally (recorded in the scoreboard name) for CI-speed runs;
-    scale=1.0 is the reference configuration."""
+    scale=1.0 is the reference configuration. When output_dir is given,
+    each leg writes restarts in its own subdirectory and a re-invocation
+    resumes mid-chain (worker drops through the tunnel are routine)."""
     def _t(cfg_default, override):
         return override if override is not None else cfg_default * scale
 
-    C1 = _load(MISMIP_MOD_DIR / "config_01_spinup_40km.cfg",
-               end_time_of_run=_t(20000.0, t_spin40))
-    r1 = _region(C1, output_dir)
-    r1.run_to(C1.end_time_of_run)
+    def _leg(cfg_name, end_time, leg_no, prev_region, **extra):
+        over = dict(end_time_of_run=end_time, **extra)
+        leg_dir = None
+        if output_dir is not None:
+            leg_dir = str(Path(output_dir) / f"leg_{leg_no:02d}")
+            over["dt_output_restart"] = max(100.0, end_time / 20.0)
+        C = _load(MISMIP_MOD_DIR / cfg_name, **over)
+        if leg_dir is not None:
+            r, resumed = _mismip_resume_region(C, leg_dir)
+        else:
+            r, resumed = _region(C, None), False
+        if not resumed and prev_region is not None:
+            r = _transfer_geometry(prev_region, C, r_next=r)
+        r.run_to(C.end_time_of_run)
+        return r
 
-    C2 = _load(MISMIP_MOD_DIR / "config_02_spinup_10km.cfg",
-               end_time_of_run=_t(5000.0, t_spin10),
-               choice_refgeo_init_ANT="idealised",
-               choice_refgeo_init_idealised="MISMIP_mod")
-    r2 = _transfer_geometry(r1, C2)
-    r2.run_to(C2.end_time_of_run)
+    geom = dict(choice_refgeo_init_ANT="idealised",
+                choice_refgeo_init_idealised="MISMIP_mod")
+    r1 = _leg("config_01_spinup_40km.cfg", _t(20000.0, t_spin40), 1, None)
+    r2 = _leg("config_02_spinup_10km.cfg", _t(5000.0, t_spin10), 2, r1,
+              **geom)
     rGL_spin = _octant_rGL(r2)
-
-    C3 = _load(MISMIP_MOD_DIR / "config_03_advance_10km.cfg",
-               end_time_of_run=_t(10000.0, t_adv),
-               choice_refgeo_init_ANT="idealised",
-               choice_refgeo_init_idealised="MISMIP_mod")
-    r3 = _transfer_geometry(r2, C3)
-    r3.run_to(C3.end_time_of_run)
-
-    C4 = _load(MISMIP_MOD_DIR / "config_04_retreat_10km.cfg",
-               end_time_of_run=_t(10000.0, t_ret),
-               choice_refgeo_init_ANT="idealised",
-               choice_refgeo_init_idealised="MISMIP_mod")
-    r4 = _transfer_geometry(r3, C4)
-    r4.run_to(C4.end_time_of_run)
+    r3 = _leg("config_03_advance_10km.cfg", _t(10000.0, t_adv), 3, r2,
+              **geom)
+    r4 = _leg("config_04_retreat_10km.cfg", _t(10000.0, t_ret), 4, r3,
+              **geom)
     rGL_ret = _octant_rGL(r4)
 
     tag = "" if scale >= 1.0 else f"_scale{scale:g}"
