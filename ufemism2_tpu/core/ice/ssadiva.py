@@ -358,6 +358,150 @@ def make_precond_dense(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
     return M
 
 
+C2_BLOCK = 64    # triangles per coarse aggregate (two-level preconditioner)
+
+
+def register_two_level_static(mesh, md: MeshData):
+    """Static tables for the two-level preconditioner: piecewise-constant
+    aggregates of C2_BLOCK Morton-contiguous triangles, and the
+    block-column structure of S_k = M_k @ P for the 5 shared-pattern
+    b-grid operators. The Galerkin coarse operator A_c = P^T A P is then
+    assembled ON DEVICE each viscosity iteration from the same per-row
+    weights as the matrix-free apply (make_A), LU-factored once, and its
+    correction added to the 2x2 block-Jacobi. This is the TPU-native
+    answer to the long-range near-null shelf modes that block-local
+    preconditioners cannot reach (PERF_NOTES round 3): the coarse solve
+    is a dense [2nB, 2nB] LU on the MXU. Reference strength class:
+    PETSc KSP with composite/fieldsplit preconditioning
+    (src/UPSY/basic/petsc_basic.f90).
+
+    Single-device only (tables live in row x block-col space, which the
+    dist layer does not shard; the sharded path falls back to 2x2 BJ)."""
+    if "c2_bcol" in md.extras:
+        return
+    import scipy.sparse as sp
+    ops = mesh.operators
+    mats = [ops.M2_ddx_b_b.tocsr(), ops.M2_ddy_b_b.tocsr(),
+            ops.M2_d2dx2_b_b.tocsr(), ops.M2_d2dxdy_b_b.tocsr(),
+            ops.M2_d2dy2_b_b.tocsr()]
+    nTri = mats[0].shape[0]
+    B = C2_BLOCK
+    nB = (nTri + B - 1) // B
+    blk = np.arange(nTri) // B
+    # prolongation columns masked to statically-free rows: the coarse
+    # correction is zero on BC rows, so their columns must not enter the
+    # Galerkin product (Dirichlet-consistent restriction). The dynamic
+    # off-ice mask of the ocean-pressure variant cannot be baked in here;
+    # those columns stay and merely soften the preconditioner.
+    free = np.asarray(md.x("ssa_bc_free"))
+    P = sp.csr_matrix((free.astype(np.float64), (np.arange(nTri), blk)),
+                      shape=(nTri, nB))
+    P.eliminate_zeros()
+    Sk = [(m @ P).tocsr() for m in mats]
+    U = sum(abs(s) for s in Sk).tocsr()
+    U.sum_duplicates()
+    U.sort_indices()
+    counts = np.diff(U.indptr)
+    KB = max(int(counts.max()), 1)
+    bcol = np.zeros((nTri, KB), np.int32)
+    vals5 = np.zeros((nTri, KB, 5))
+    row_of = np.repeat(np.arange(nTri), counts)
+    pos = np.arange(U.nnz) - np.repeat(U.indptr[:-1], counts)
+    bcol[row_of, pos] = U.indices
+    valid = np.zeros((nTri, KB), bool)
+    valid[row_of, pos] = True
+    for k, s in enumerate(Sk):
+        sc = s.tocoo()
+        # position of (row, col) inside the union row
+        key = sc.row.astype(np.int64) * nB + sc.col
+        ukey = row_of.astype(np.int64) * nB + bcol[row_of, pos]
+        order = np.argsort(ukey)
+        loc = np.searchsorted(ukey[order], key)
+        vals5[row_of[order][loc], pos[order][loc], k] = sc.data
+    dt = md.A.dtype
+    md.extras.update({
+        "c2_blk": EField(jnp.asarray(blk, jnp.int32), "C2row"),
+        "c2_bcol": EField(jnp.asarray(bcol, jnp.int32), "C2nnz"),
+        "c2_vals5": EField(jnp.asarray(vals5, dt), "C2nnz"),
+        "c2_valid": EField(jnp.asarray(valid), "C2nnz"),
+    })
+
+
+def make_precond_two_level(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b,
+                           front=None):
+    """2x2 block-Jacobi + additive piecewise-constant coarse correction:
+    z = BJ(r) + P A_c^{-1} P^T r restricted to free rows. A_c is the
+    Galerkin coarse operator assembled from the make_A row weights."""
+    import jax
+    Mbj = make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=front)
+    bc_free = md.x("ssa_bc_free")
+    blk = md.x("c2_blk")
+    bcol = md.x("c2_bcol")
+    vals5 = md.x("c2_vals5")
+    valid = md.x("c2_valid")
+    nTri = N_b.shape[0]
+    # nB from static shapes (md attributes do not survive pytree
+    # unflattening inside jit)
+    nB = (blk.shape[0] + C2_BLOCK - 1) // C2_BLOCK
+    dt = N_b.dtype
+
+    if front is not None:
+        is_front, off, n_x, n_y = front
+        ok = (bc_free | is_front) & ~off
+    else:
+        is_front = jnp.zeros(nTri, bool)
+        n_x = n_y = jnp.zeros(nTri, dt)
+        ok = bc_free
+
+    # per-row weights of the 5 operators in each (u,v) coupling
+    # (make_A interior rows; front rows use the Neumann weights)
+    zero = jnp.zeros(nTri, dt)
+    def _w(interior, front_w):
+        w = jnp.where(ok, interior, 0.0)
+        if front is not None:
+            w = jnp.where(is_front & ~off, front_w, w)
+        return w
+    w_uu = [_w(4 * dN_dx_b, 4 * N_b * n_x), _w(dN_dy_b, N_b * n_y),
+            _w(4 * N_b, zero), _w(zero, zero), _w(N_b, zero)]
+    w_uv = [_w(dN_dy_b, N_b * n_y), _w(2 * dN_dx_b, 2 * N_b * n_x),
+            _w(zero, zero), _w(3 * N_b, zero), _w(zero, zero)]
+    w_vu = [_w(2 * dN_dy_b, 2 * N_b * n_y), _w(dN_dx_b, N_b * n_x),
+            _w(zero, zero), _w(3 * N_b, zero), _w(zero, zero)]
+    w_vv = [_w(dN_dx_b, N_b * n_x), _w(4 * dN_dy_b, 4 * N_b * n_y),
+            _w(N_b, zero), _w(zero, zero), _w(4 * N_b, zero)]
+
+    n2 = 2 * nB
+    Ac = jnp.zeros(n2 * n2, dt)
+    base = (2 * blk)[:, None] * n2 + 2 * bcol          # [nTri, KB]
+    vm = jnp.where(valid, 1.0, 0.0).astype(dt)
+    for (a, b, ws) in ((0, 0, w_uu), (0, 1, w_uv),
+                       (1, 0, w_vu), (1, 1, w_vv)):
+        e = sum(ws[k][:, None] * vals5[:, :, k] for k in range(5)) * vm
+        Ac = Ac.at[(base + a * n2 + b).ravel()].add(e.ravel())
+    # diagonal beta on free interior rows (front rows carry no beta)
+    beta_free = jnp.where(bc_free & ~is_front, -beta_eff_b.astype(dt), 0.0)
+    dsum = jnp.zeros(nB, dt).at[blk].add(beta_free)
+    diag = (2 * jnp.arange(nB)) * n2 + 2 * jnp.arange(nB)
+    Ac = Ac.at[diag].add(dsum).at[diag + n2 + 1].add(dsum)
+    # non-free rows are excluded from the coarse residual/prolongation;
+    # keep their aggregates nonsingular with an identity contribution
+    nfree = jnp.zeros(nB, dt).at[blk].add(jnp.where(ok, 0.0, 1.0))
+    Ac = Ac.at[diag].add(nfree).at[diag + n2 + 1].add(nfree)
+    lu, piv = jax.scipy.linalg.lu_factor(Ac.reshape(n2, n2))
+
+    def M(r):
+        ru, rv = r
+        zu, zv = Mbj(r)
+        rc = jnp.zeros(n2, dt) \
+            .at[2 * blk].add(jnp.where(ok, ru, 0.0)) \
+            .at[2 * blk + 1].add(jnp.where(ok, rv, 0.0))
+        zc = jax.scipy.linalg.lu_solve((lu, piv), rc)
+        zu = zu + jnp.where(ok, zc[2 * blk], 0.0)
+        zv = zv + jnp.where(ok, zc[2 * blk + 1], 0.0)
+        return zu, zv
+    return M
+
+
 def make_precond(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b, front=None):
     """2x2 block-Jacobi: invert the per-triangle (u,v) diagonal block."""
     bc_free = md.x("ssa_bc_free")
@@ -449,9 +593,12 @@ def register_ssadiva_static(C, mesh, md: MeshData):
                     ("ssa_d_dyy", ops.M2_d2dy2_b_b)]:
         md.extras[name] = EField(jnp.asarray(M.diagonal(), dt), "Tri")
     md.ssa_has_fix = bool(bc.fix_u.any() or bc.fix_v.any())
-    if getattr(C, "tpu_stress_balance_precond", "") == "block_dense":
+    precond_choice = getattr(C, "tpu_stress_balance_precond", "")
+    if precond_choice == "block_dense":
         # nnz-space tables: single-device only (see register_bjdense_static)
         register_bjdense_static(mesh, md)
+    elif precond_choice == "two_level":
+        register_two_level_static(mesh, md)
 
     from .sliding import register_sliding_static
     register_sliding_static(C, mesh, md)
@@ -663,6 +810,9 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
             elif precond_kind == "block_dense" and "bjd_vals" in md.extras:
                 Mp = make_precond_dense(md, N_b, dN_dx_b, dN_dy_b,
                                         beta_eff_b, front=front)
+            elif precond_kind == "two_level" and "c2_bcol" in md.extras:
+                Mp = make_precond_two_level(md, N_b, dN_dx_b, dN_dy_b,
+                                            beta_eff_b, front=front)
             else:
                 Mp = M
             res = gmres(A, (b_u, b_v), x0=(c.u, c.v), M=Mp,

@@ -195,11 +195,21 @@ def run_ismip_hom_matrix(scoreboard_dir=None, experiments=("A", "B", "C",
     each (experiment, L) additionally records the cross-approximation
     RMSE (BPA is the highest-order model here, so DIVA/SIASSA are scored
     against it - the same role the ensemble band plays)."""
+    import glob as _glob
     runs = []
     for exp in experiments:
         for L in Ls:
             transects = {}
             for approx in approximations:
+                if scoreboard_dir and _glob.glob(str(
+                        Path(scoreboard_dir) / f"it_ideal_ISMIP_HOM_"
+                        f"experiment_{exp}_{approx}_L{L:03d}_*.json")):
+                    # already scored (incremental across driver retries)
+                    if verbose:
+                        print(f"skip {exp}/{approx}/L{L:03d} (scored)",
+                              flush=True)
+                    transects.pop(approx, None)
+                    continue
                 run, u = run_ismip_hom(scoreboard_dir, exp, L, approx,
                                        output_dir, _return_transect=True)
                 transects[approx] = u
@@ -362,6 +372,11 @@ def run_mismipplus_ice1r(spinup_dir, output_dir, scoreboard_dir=None,
     over = {"choice_refgeo_init_ANT": "idealised",
             "choice_refgeo_init_idealised": "MISMIPplus",
             "refgeo_idealised_MISMIPplus_Hi_init": 100.0,
+            # the restart resume replaces every read-from-file init the
+            # reference's config_03 points at its spinup output files
+            "filename_initial_mesh_ANT": "",
+            "choice_initial_velocity_ANT": "zero",
+            "pc_choice_initialise_ANT": "zero",
             # resume supplies mesh+state; keep the tuning slot alive so
             # the spinup's tuned scale can be restored into it
             "refgeo_idealised_MISMIPplus_tune_A": True}
@@ -392,12 +407,27 @@ def run_mismipplus_ice1r(spinup_dir, output_dir, scoreboard_dir=None,
     r, resumed = _mismip_resume_region(C, output_dir)
     assert resumed, "ice1r must start from a spinup restart"
     t0 = float(r.time)
+    if not (Path(output_dir) / "x_GL_series.json").exists():
+        # fresh retreat start: collapse the spinup's Hi prediction window
+        # so the first step resolves the new melt forcing immediately
+        # (the reference restarts the pc clock when chaining runs)
+        import jax.numpy as jnp
+        s = r.state
+        r.state = s.replace(
+            Hi_prev=s.Hi, Hi_next=s.Hi,
+            t_Hi_prev=jnp.asarray(t0, s.t_Hi_prev.dtype),
+            t_Hi_next=jnp.asarray(t0, s.t_Hi_next.dtype))
 
+    # the retreat window is RELATIVE to the resumed spinup clock; its
+    # absolute end is pinned in the series file so a mid-window crash
+    # resumes the remaining years instead of re-deriving the window
     x_series_file = Path(output_dir) / "x_GL_series.json"
-    x_GL = [] if not x_series_file.exists() \
-        else json.loads(x_series_file.read_text())["x_GL"]
-    t_end = t0 + (C.end_time_of_run - C.start_time_of_run) \
-        if t0 > C.end_time_of_run else C.end_time_of_run
+    duration = C.end_time_of_run - C.start_time_of_run
+    if x_series_file.exists():
+        rec = json.loads(x_series_file.read_text())
+        x_GL, t_end = rec["x_GL"], rec["t_end"]
+    else:
+        x_GL, t_end = [], t0 + duration
     t = t0
     if not x_GL:
         x_GL.append(_x_GL_westeast(r))
@@ -405,7 +435,8 @@ def run_mismipplus_ice1r(spinup_dir, output_dir, scoreboard_dir=None,
         t = min(t + 1.0, t_end)
         r.run_to(t)
         x_GL.append(_x_GL_westeast(r))
-        x_series_file.write_text(json.dumps({"x_GL": x_GL, "t": t}))
+        x_series_file.write_text(json.dumps({"x_GL": x_GL, "t": t,
+                                             "t_end": t_end}))
 
     x = np.asarray(x_GL, float)
     xs = x.copy()
