@@ -31,4 +31,5 @@ run_gate mismip_mod 8
 run_gate berends 3 H_dHdt_flowline
 run_gate berends 3 H_dHdt_local
 run_gate berends 3 H_u_flowline
+run_gate ismip_hom_matrix 6
 echo "=== ALL GATES DONE $(date -u) ==="
