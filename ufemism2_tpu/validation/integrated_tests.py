@@ -416,7 +416,11 @@ def run_mismipplus_ice1r(spinup_dir, output_dir, scoreboard_dir=None,
         r.state = s.replace(
             Hi_prev=s.Hi, Hi_next=s.Hi,
             t_Hi_prev=jnp.asarray(t0, s.t_Hi_prev.dtype),
-            t_Hi_next=jnp.asarray(t0, s.t_Hi_next.dtype))
+            t_Hi_next=jnp.asarray(t0, s.t_Hi_next.dtype),
+            # per-leg stability counters (the reference reads them from
+            # this leg's own scalar output, read_stability_info.m)
+            n_visc_its=jnp.zeros_like(s.n_visc_its),
+            n_Axb_its=jnp.zeros_like(s.n_Axb_its))
 
     # the retreat window is RELATIVE to the resumed spinup clock; its
     # absolute end is pinned in the series file so a mid-window crash
