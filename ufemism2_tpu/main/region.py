@@ -378,6 +378,16 @@ class ModelRegion:
             SL=jnp.full_like(self.state.SL, sealevel))
         return self
 
+    def write_restart(self):
+        """Force a restart write at the current model time (used by gate
+        runners at leg boundaries so a completed leg resumes as
+        completed instead of re-running)."""
+        if self.output_dir is not None:
+            from ..io.output_files import write_restart_file
+            write_restart_file(
+                Path(self.output_dir) / f"restart_{self.name}_00001.nc",
+                self.mesh, self.state, self.time)
+
     def resume_from_restart(self, path):
         """Restore the full model state (incl. pc controller) and model
         time from a restart file written by this run or an earlier one on

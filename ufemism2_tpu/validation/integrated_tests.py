@@ -343,6 +343,7 @@ def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
                             r.md.extras["glen_A_scale"].arr)),
                         "A0": C.uniform_Glens_flow_factor, "t": t}))
 
+    r.write_restart()   # the ice1r leg chains from the finished state
     x_GL = _x_GL_westeast(r)
     run = ScoreboardRun(name="MISMIPplus_5km_spinup",
                         category="integrated_tests/idealised/MISMIPplus")
@@ -439,6 +440,7 @@ def run_mismipplus_ice1r(spinup_dir, output_dir, scoreboard_dir=None,
         t = min(t + 1.0, t_end)
         r.run_to(t)
         x_GL.append(_x_GL_westeast(r))
+        r.write_restart()   # keep state and series in lock-step
         x_series_file.write_text(json.dumps({"x_GL": x_GL, "t": t,
                                              "t_end": t_end}))
 
@@ -574,6 +576,8 @@ def run_mismip_mod(scoreboard_dir=None, output_dir=None, scale=1.0,
         if not resumed and prev_region is not None:
             r = _transfer_geometry(prev_region, C, r_next=r)
         r.run_to(C.end_time_of_run)
+        if leg_dir is not None:
+            r.write_restart()   # completed leg resumes as completed
         return r
 
     geom = dict(choice_refgeo_init_ANT="idealised",
