@@ -107,6 +107,8 @@ def run_ssa_icestream(scoreboard_dir=None, resolutions=(32, 16, 8, 4),
             C.refgeo_idealised_SSA_icestream_m,
             tr.points[:, 1])
         rmse = float(np.sqrt(((u_surf - u_an) ** 2).mean()))
+        print(f"[ssa] {res} km: RMSE(u_surf) = {rmse:.1f} m/yr "
+              f"(nV={r.mesh.nV})", flush=True)
         run.add_cost_function(f"RMSE_{res}km",
                               "sqrt( mean( (u_surf - u_an).^2 ))", rmse)
     run.add_stability_info(_stability(last_region))
