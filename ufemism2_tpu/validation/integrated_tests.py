@@ -111,6 +111,10 @@ def run_ssa_icestream(scoreboard_dir=None, resolutions=(32, 16, 8, 4),
               f"(nV={r.mesh.nV})", flush=True)
         run.add_cost_function(f"RMSE_{res}km",
                               "sqrt( mean( (u_surf - u_an).^2 ))", rmse)
+        if scoreboard_dir:
+            # incremental write: a crash mid-matrix keeps the finished
+            # resolutions on the scoreboard
+            run.write(scoreboard_dir)
     run.add_stability_info(_stability(last_region))
     if scoreboard_dir:
         run.write(scoreboard_dir)
