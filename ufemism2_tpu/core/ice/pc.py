@@ -301,10 +301,16 @@ def make_pc_multistep(C, pc_step, thermo_step=None):
     dt_th = C.dt_thermodynamics
 
     if thermo_step is None:
-        def multi(md, s, t_stop, dt_max, SMB, BMB, LMB):
+        def multi(md, s, t_stop, dt_max, SMB, BMB, LMB,
+                  n_max=jnp.int32(2 ** 30)):
             def cond(c):
                 s, n = c
-                return s.t_Hi_next < t_stop - 1e-9
+                # n_max hard-bounds the dispatch length: the remote-TPU
+                # tunnel kills dispatches that run for minutes ('TPU
+                # worker crashed'), and a dt collapse inside the window
+                # would otherwise turn a 50-yr t_stop into 500 steps.
+                # run_to adapts n_max to a wall-clock target.
+                return (s.t_Hi_next < t_stop - 1e-9) & (n < n_max)
 
             def body(c):
                 s, n = c
@@ -317,10 +323,11 @@ def make_pc_multistep(C, pc_step, thermo_step=None):
 
         return jax.jit(multi)
 
-    def multi_th(md, s, t_stop, dt_max, SMB, BMB, LMB, T_surf, t_th0):
+    def multi_th(md, s, t_stop, dt_max, SMB, BMB, LMB, T_surf, t_th0,
+                 n_max=jnp.int32(2 ** 30)):
         def cond(c):
             s, n, t_th = c
-            return s.t_Hi_next < t_stop - 1e-9
+            return (s.t_Hi_next < t_stop - 1e-9) & (n < n_max)
 
         def body(c):
             s, n, t_th = c

@@ -50,14 +50,13 @@ class ModelRegion:
     mesh: Optional[Mesh] = None
     time: float = 0.0
     output_dir: Optional[str] = None
-    # max model-years per on-device fast-forward dispatch (see run_to)
-    max_ff_years: float = 50.0
-    # ... and max ice-dynamics steps per dispatch: with dt at dt_ice_min
-    # (thin-slab spinups) a 50-yr window is 500 solver steps in ONE
-    # dispatch, which reliably trips the remote tunnel's liveness
-    # watchdog ('TPU worker crashed'); the window is additionally bounded
-    # by max_ff_steps * current dt
-    max_ff_steps: int = 80
+    # initial ice-dynamics steps per dispatch; run_to measures achieved
+    # steps/s and re-aims every dispatch at UF_FF_TARGET_S wall seconds
+    # (default 20 s) so a slow config (MISMIP+ GL, seconds/step) cannot
+    # trip the remote tunnel's liveness watchdog with a minutes-long
+    # dispatch, while a fast one (Halfar, ms/step) still batches
+    # thousands of steps per host round-trip
+    max_ff_steps: int = 8
 
     def __post_init__(self):
         C = self.C
@@ -587,17 +586,26 @@ class ModelRegion:
                         t_stop = min(t_stop, self.t_last_mesh_update
                                      + C.dt_mesh_update_min)
                     t_hi = float(self.state.t_Hi_next)
-                    # bound the on-device fast-forward horizon: a single
-                    # multi-minute dispatch can trip the axon tunnel's
-                    # liveness watchdog ('TPU worker crashed'); chunking
-                    # costs one host round-trip per chunk, nothing more
-                    dt_cur = float(self.state.dt_ice)
-                    if not (dt_cur > 0.0):
-                        dt_cur = C.dt_ice_min
-                    ff = min(self.max_ff_years,
-                             self.max_ff_steps * max(dt_cur, C.dt_ice_min))
-                    t_stop = min(t_stop, t_hi + ff)
+                    # adaptive dispatch chunking: target a fixed wall
+                    # time per dispatch (UF_FF_TARGET_S, default 20 s).
+                    # Minutes-long dispatches reliably trip the remote
+                    # tunnel's liveness watchdog ('TPU worker crashed'),
+                    # and per-step cost varies by orders of magnitude
+                    # between configs (Halfar ms vs MISMIP+ GL seconds),
+                    # so a fixed step count cannot be right; measure the
+                    # achieved steps/s and re-aim every dispatch.
+                    # IMPORTANT for determinism: the chunk bound is a
+                    # STEP COUNT (n_max) only - t_stop stays at the real
+                    # event boundary, so the dt controller never sees an
+                    # artificial (machine-speed-dependent) window edge
+                    # and the trajectory is identical for any chunking.
+                    if not hasattr(self, "_ff_steps"):
+                        self._ff_steps = min(self.max_ff_steps, 8)
+                        self._ff_target_s = float(os.environ.get(
+                            "UF_FF_TARGET_S", "20"))
+                    n_chunk = self._ff_steps
                     if t_stop > t_hi + 1e-9:
+                        _tw = _time.perf_counter()
                         if self._dist is not None:
                             # sharded fast-forward over the device mesh;
                             # state converts at the window boundaries
@@ -607,7 +615,8 @@ class ModelRegion:
                                 sd, t_stop, dt_max,
                                 SMB=self._dist.pad_field_V(self.SMB),
                                 BMB=self._dist.pad_field_V(self.BMB),
-                                LMB=self._dist.pad_field_V(self.LMB))
+                                LMB=self._dist.pad_field_V(self.LMB),
+                                n_max=n_chunk)
                             self.state = self._dist.from_dist(sd)
                         elif self._thermo_fused:
                             self.state, n, t_th = self.pc_multistep(
@@ -615,14 +624,22 @@ class ModelRegion:
                                 jnp.asarray(dt_max),
                                 self.SMB, self.BMB, self.LMB,
                                 self._T_surf,
-                                jnp.asarray(self.t_thermo_next))
+                                jnp.asarray(self.t_thermo_next),
+                                jnp.int32(n_chunk))
                             self.t_thermo_next = float(t_th)
                         else:
                             self.state, n = self.pc_multistep(
                                 self.md, self.state, jnp.asarray(t_stop),
                                 jnp.asarray(dt_max),
-                                self.SMB, self.BMB, self.LMB)
-                        self.n_dt_ice += int(n)
+                                self.SMB, self.BMB, self.LMB,
+                                jnp.int32(n_chunk))
+                        n_int = int(n)          # device sync: dispatch done
+                        wall = _time.perf_counter() - _tw
+                        self.n_dt_ice += n_int
+                        if n_int > 0 and wall > 0.0:
+                            rate = wall / n_int
+                            self._ff_steps = int(max(1, min(
+                                self._ff_target_s / max(rate, 1e-5), 4000)))
                     else:
                         self.state = self.pc_step(
                             self.md, self.state,

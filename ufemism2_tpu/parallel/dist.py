@@ -536,11 +536,13 @@ class ShardedModel:
         pc_raw = make_pc_step(C, self.md, jit=False)
         dt_min = C.dt_ice_min
 
-        def local_multi(md, s, t_stop, dt_max, SMB, BMB, LMB):
+        def local_multi(md, s, t_stop, dt_max, SMB, BMB, LMB, n_max):
             with comm.axis_ctx(MESH_AXIS):
                 def cond(c):
                     s_, n = c
-                    return s_.t_Hi_next < t_stop - 1e-9
+                    # n_max hard-bounds the dispatch (tunnel liveness
+                    # watchdog; see core.ice.pc.make_pc_multistep)
+                    return (s_.t_Hi_next < t_stop - 1e-9) & (n < n_max)
 
                 def body(c):
                     s_, n = c
@@ -558,11 +560,11 @@ class ShardedModel:
         return jax.jit(shard_map(
             local_multi, mesh=self.jmesh,
             in_specs=(self._md_specs, s_specs, P(), P(),
-                      v_spec, v_spec, v_spec),
+                      v_spec, v_spec, v_spec, P()),
             out_specs=(s_specs, P()), check_vma=False))
 
     def multistep(self, state_d, t_stop, dt_max, SMB=None, BMB=None,
-                  LMB=None):
+                  LMB=None, n_max=2 ** 30):
         if not hasattr(self, "_multi"):
             self._multi = self._build_multistep(self.region.C)
         z = self._zeros_V
@@ -570,7 +572,8 @@ class ShardedModel:
         BMB = z if BMB is None else BMB
         LMB = z if LMB is None else LMB
         return self._multi(self.md, state_d, jnp.asarray(t_stop),
-                           jnp.asarray(dt_max), SMB, BMB, LMB)
+                           jnp.asarray(dt_max), SMB, BMB, LMB,
+                           jnp.int32(n_max))
 
     def halo_stats(self):
         """Per-space halo/occupancy diagnostics for the multichip
