@@ -36,7 +36,7 @@ def test_hybrid_matches_pure_solvers(small_mesh):
     solve_h = make_solve_hybrid(C, md, np.zeros(nTri, bool))
     solve_d = make_solve_ssa_diva(C, md, "DIVA")
     uh, vh, u3h, v3h, _, _ = solve_h(md, s.Hi, s.Hs, s.Hb, s.SL, s.Ti, s)
-    ud, vd, _, _, _, _ = solve_d(md, s.Hi, s.Hs, s.Hb, s.SL, s.Ti, s)
+    ud, vd, _, _, _, _, _ = solve_d(md, s.Hi, s.Hs, s.Hb, s.SL, s.Ti, s)
     assert np.isfinite(np.asarray(uh)).all()
     # an all-DIVA hybrid is algebraically the DIVA system: machine agreement
     scale = max(float(jnp.abs(ud).max()), 1e-6)

@@ -74,6 +74,14 @@ ICE_FIELD_META = {
                  "trilin"),
     "u_3D_b": F("b", "zeta", "m yr^-1", "3-D x-velocity", "trilin"),
     "v_3D_b": F("b", "zeta", "m yr^-1", "3-D y-velocity", "trilin"),
+    # stress-balance warm-start state (reference: persistent DIVA solver
+    # fields, written to its restart files by create_restart_file_DIVA)
+    "visc_tau_bx": F("b", "", "Pa", "basal shear stress x (warm start)",
+                     "trilin"),
+    "visc_tau_by": F("b", "", "Pa", "basal shear stress y (warm start)",
+                     "trilin"),
+    "visc_eta_3D_b": F("b", "zeta", "Pa yr", "effective viscosity "
+                       "(warm start)", "trilin"),
     # thermodynamics
     "Ti": F("a", "zeta", "K", "englacial temperature", "conservative"),
     # counters / controller scalars

@@ -45,6 +45,7 @@ class _PCCarry(NamedTuple):
     u_3D_b: jnp.ndarray
     v_3D_b: jnp.ndarray
     divQ: jnp.ndarray
+    aux: dict                      # solver warm-start state (tau_b, eta)
     n_visc_its: jnp.ndarray
     n_Axb_its: jnp.ndarray
     done: jnp.ndarray
@@ -54,15 +55,27 @@ def make_solve_stress_balance(C, md: MeshData, bedrock_cdfs=None):
     """Velocity solver dispatch (conservation_of_momentum_main.f90:37).
 
     Returns fn(md, Hi, Hs, Hb, SL, Ti, state) ->
-      (u_vav_b, v_vav_b, u_3D_b, v_3D_b, n_visc_its, n_Axb_its).
+      (u_vav_b, v_vav_b, u_3D_b, v_3D_b, n_visc_its, n_Axb_its, aux)
+    where aux is a dict of solver warm-start state written back into the
+    IceState after the step (the reference keeps the equivalent fields
+    in its persistent per-solver types, e.g.
+    type_ice_velocity_solver_DIVA).
     """
     choice = C.choice_stress_balance_approximation
+
+    def _aux_passthrough(s):
+        # solvers without their own warm-start state carry the fields
+        # through unchanged so the state pytree structure is stable
+        return {"visc_tau_bx": s.visc_tau_bx,
+                "visc_tau_by": s.visc_tau_by,
+                "visc_eta_3D_b": s.visc_eta_3D_b}
 
     if choice == "none":
         def solve(md, Hi, Hs, Hb, SL, Ti, s):
             z = jnp.zeros_like(s.u_vav_b)
             z3 = jnp.zeros_like(s.u_3D_b)
-            return z, z, z3, z3, jnp.int32(0), jnp.int32(0)
+            return (z, z, z3, z3, jnp.int32(0), jnp.int32(0),
+                    _aux_passthrough(s))
         return solve
 
     if choice == "SIA":
@@ -72,7 +85,8 @@ def make_solve_stress_balance(C, md: MeshData, bedrock_cdfs=None):
                 C, md, Hi, Hs, Ti, masks["mask_grounded_ice"],
                 masks["mask_floating_ice"])
             u3, v3, _, _, _, uv, vv = sia_mod.solve_SIA(C, md, Hi, Hs, A_flow)
-            return uv, vv, u3, v3, jnp.int32(0), jnp.int32(0)
+            return (uv, vv, u3, v3, jnp.int32(0), jnp.int32(0),
+                    _aux_passthrough(s))
         return solve
 
     if choice in ("SSA", "DIVA", "SIA/SSA"):
@@ -81,7 +95,12 @@ def make_solve_stress_balance(C, md: MeshData, bedrock_cdfs=None):
 
     if choice == "BPA":
         from .bpa import make_solve_bpa
-        return make_solve_bpa(C, md, bedrock_cdfs=bedrock_cdfs)
+        solve6 = make_solve_bpa(C, md, bedrock_cdfs=bedrock_cdfs)
+
+        def solve(md, Hi, Hs, Hb, SL, Ti, s):
+            return (*solve6(md, Hi, Hs, Hb, SL, Ti, s),
+                    _aux_passthrough(s))
+        return solve
 
     if choice == "hybrid DIVA/BPA":
         from .hybrid import make_solve_hybrid, resolve_hybrid_mask
@@ -92,8 +111,13 @@ def make_solve_stress_balance(C, md: MeshData, bedrock_cdfs=None):
             (r for r in ("ANT", "EAS", "GRL", "NAM")
              if getattr(C, f"choice_hybrid_DIVA_BPA_mask_{r}")), "ANT")
         mask_BPA_b = resolve_hybrid_mask(C, md._host_mesh, region)
-        return make_solve_hybrid(C, md, mask_BPA_b,
-                                 bedrock_cdfs=bedrock_cdfs)
+        solve6 = make_solve_hybrid(C, md, mask_BPA_b,
+                                   bedrock_cdfs=bedrock_cdfs)
+
+        def solve(md, Hi, Hs, Hb, SL, Ti, s):
+            return (*solve6(md, Hi, Hs, Hb, SL, Ti, s),
+                    _aux_passthrough(s))
+        return solve
 
     raise ValueError(
         f"stress balance '{choice}' not implemented yet")
@@ -201,7 +225,7 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
 
             # == stress balance on predicted geometry ==
             Hs_star = ice_surface_elevation(Hi_star, Hb, SL)
-            uv, vv, u3, v3, nvi, nai = solve_stress_balance(
+            uv, vv, u3, v3, nvi, nai, aux = solve_stress_balance(
                 md, Hi_star, Hs_star, Hb, SL, Ti, s)
 
             # == corrector (original geometry, new velocities) ==
@@ -236,6 +260,7 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
                 Hi_star=Hi_star, Hi_np1=Hi_np1,
                 dHdt_n=dHdt_n, dHdt_np1=dHdt_np1,
                 u_vav_b=uv, v_vav_b=vv, u_3D_b=u3, v_3D_b=v3, divQ=divQ,
+                aux=aux,
                 n_visc_its=c.n_visc_its + nvi,
                 n_Axb_its=c.n_Axb_its + nai + nsi1 + nsi2,
                 done=done)
@@ -249,6 +274,9 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
             dHdt_n=dHdt_nm1, dHdt_np1=dHdt_nm1,
             u_vav_b=s.u_vav_b, v_vav_b=s.v_vav_b,
             u_3D_b=s.u_3D_b, v_3D_b=s.v_3D_b, divQ=s.divQ,
+            aux={"visc_tau_bx": s.visc_tau_bx,
+                 "visc_tau_by": s.visc_tau_by,
+                 "visc_eta_3D_b": s.visc_eta_3D_b},
             n_visc_its=jnp.int32(0), n_Axb_its=jnp.int32(0),
             done=jnp.asarray(False))
         out = jax.lax.while_loop(cond, body, init)
@@ -264,6 +292,7 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
             dHi_dt=dHi_dt, divQ=out.divQ,
             u_vav_b=out.u_vav_b, v_vav_b=out.v_vav_b,
             u_3D_b=out.u_3D_b, v_3D_b=out.v_3D_b,
+            **out.aux,
             fraction_margin=fraction_margin, fraction_gr=fraction_gr,
             fraction_gr_b=fraction_gr_b,
             Hi_eff=Hi_eff,

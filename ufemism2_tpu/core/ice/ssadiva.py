@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -857,6 +859,12 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
             n_div = jnp.where(do_rescue, 0, n_div)
 
             converged = L2 < C.visc_it_norm_dUV_tol
+            if os.environ.get("UF_VISC_DEBUG"):
+                jax.debug.print(
+                    "    visc it {it}: L2={L2:.3e} axb={na} relax={rx:.3f} "
+                    "|u|max={um:.3e}",
+                    it=c.it, L2=L2, na=res.n_iter, rx=c.relax,
+                    um=jnp.abs(u_new).max())
             return _ViscCarry(
                 u=u_new, v=v_new, u_base=u_base, v_base=v_base,
                 tau_bx=tau_bx, tau_by=tau_by, eta_3D_b=eta_3D_b,
@@ -871,9 +879,24 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
         nTri = md.nTri
         init = _ViscCarry(
             u=s.u_vav_b, v=s.v_vav_b,
-            u_base=jnp.zeros(nTri, dtype), v_base=jnp.zeros(nTri, dtype),
-            tau_bx=jnp.zeros(nTri, dtype), tau_by=jnp.zeros(nTri, dtype),
-            eta_3D_b=jnp.full((nTri, nz), C.visc_eff_min, dtype),
+            # warm-start basal velocities from the stored 3-D profile
+            # (base layer = u_base by the Lipscomb Eq. 29 reconstruction;
+            # the reference keeps DIVA%u_base_b persistent). A zero init
+            # makes the sliding law return enormous friction at it 0
+            # (beta ~ |u|^(1/m - 1) -> inf), so the first solve of EVERY
+            # step collapses the velocity field and the relax=0.2 loop
+            # spends ~20 its recovering it.
+            u_base=s.u_3D_b[:, -1], v_base=s.v_3D_b[:, -1],
+            # warm-start the DIVA vertical-shear feedback from the
+            # previous step's converged tau_b / eta (the reference keeps
+            # these in the persistent DIVA solver state,
+            # DIVA_solver_infinite_slab.f90 calc_vertical_shear_strain_
+            # rates reads DIVA%tau_bx of the PREVIOUS solve): without it
+            # iteration 0 sees du/dz = 0 and the relax=0.2 Picard loop
+            # spends ~20 iterations re-converging the feedback EVERY step
+            tau_bx=s.visc_tau_bx, tau_by=s.visc_tau_by,
+            eta_3D_b=jnp.maximum(s.visc_eta_3D_b.astype(dtype),
+                                 C.visc_eff_min),
             beta_b_a=jnp.zeros(md.nV, dtype),
             F1_3D_b=jnp.zeros((nTri, nz), dtype),
             F2_b1=jnp.zeros(nTri, dtype),
@@ -912,7 +935,9 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
             u_3D = u_3D + u3_sia
             v_3D = v_3D + v3_sia
 
-        return (u_vav, v_vav, u_3D, v_3D, out.it, out.n_axb)
+        aux = {"visc_tau_bx": out.tau_bx, "visc_tau_by": out.tau_by,
+               "visc_eta_3D_b": out.eta_3D_b}
+        return (u_vav, v_vav, u_3D, v_3D, out.it, out.n_axb, aux)
 
     return solve
 

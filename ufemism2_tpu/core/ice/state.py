@@ -79,6 +79,16 @@ class IceState:
     u_3D_b: jnp.ndarray              # [nTri,nz]
     v_3D_b: jnp.ndarray              # [nTri,nz]
 
+    # stress-balance solver warm-start state: the reference's DIVA
+    # solver keeps tau_b / eta_3D in type_ice_velocity_solver_DIVA
+    # BETWEEN solves (and restarts them, create_restart_file_DIVA), so
+    # iteration 1 of a new solve sees the previous step's converged
+    # vertical-shear feedback. Without these the viscosity iteration
+    # re-converges that feedback from zero every step (~20 extra its).
+    visc_tau_bx: jnp.ndarray         # [nTri] basal shear stress x
+    visc_tau_by: jnp.ndarray         # [nTri]
+    visc_eta_3D_b: jnp.ndarray       # [nTri,nz] effective viscosity
+
     # thermodynamics
     Ti: jnp.ndarray                  # [nV,nz] englacial temperature
 
@@ -127,6 +137,8 @@ def init_ice_state(md, Hi, Hb, SL, nz: int, dt_init: float = 0.1,
         u_vav_b=zeros_t, v_vav_b=zeros_t,
         u_3D_b=jnp.zeros((nTri, nz), dtype),
         v_3D_b=jnp.zeros((nTri, nz), dtype),
+        visc_tau_bx=zeros_t, visc_tau_by=zeros_t,
+        visc_eta_3D_b=jnp.full((nTri, nz), 1e4, dtype),  # = visc_eff_min
         Ti=jnp.full((nV, nz), Ti_init, dtype),
         pc=PCState(dt_n=ft(dt_init), dt_np1=ft(dt_init),
                    eta_n=f(1e-8), eta_np1=f(1e-8),
