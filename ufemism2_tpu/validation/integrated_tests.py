@@ -331,13 +331,21 @@ def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
 
     # coupling loop with the MISMIP+ flow-factor tuning (the reference
     # tunes every dt_coupling once Hs has stabilised to 0.5%)
+    import time as _time
     t = float(r.time)
     Hs_cur = 1.0
     sf = Path(output_dir) / "glen_A_scale.json"
+    print(f"[gate] mismipplus_spinup t={t:.1f} -> {C.end_time_of_run:.0f}",
+          flush=True)
     while t < C.end_time_of_run - 1e-9:
         t_next = min(t + C.dt_coupling, C.end_time_of_run)
+        _tw = _time.perf_counter()
         r.run_to(t_next)
         t = t_next
+        print(f"[gate] t={t:9.1f}  x_GL={_x_GL_westeast(r)/1e3:7.1f} km  "
+              f"steps={r.n_dt_ice}  axb={int(r.state.n_Axb_its)}  "
+              f"wall={_time.perf_counter() - _tw:6.1f}s  "
+              f"chunk={getattr(r, '_ff_steps', 0)}", flush=True)
         if C.refgeo_idealised_MISMIPplus_tune_A:
             Hs_prev = Hs_cur
             Hs_cur = float(np.asarray(r.state.Hs).max())
