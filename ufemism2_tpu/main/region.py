@@ -600,7 +600,16 @@ class ModelRegion:
                     # artificial (machine-speed-dependent) window edge
                     # and the trajectory is identical for any chunking.
                     if not hasattr(self, "_ff_steps"):
-                        self._ff_steps = min(self.max_ff_steps, 8)
+                        # First dispatch is ALWAYS a single step: cold
+                        # steps can cost ~70 s (viscosity cold start),
+                        # and 8 of them in one dispatch (~9 min with no
+                        # host contact) reliably trips the tunnel's
+                        # liveness watchdog and kills the remote worker
+                        # (bisected 2026-08-18: n_max=1 runs, n_max=8
+                        # faults on the MISMIP+ 5 km spinup). The
+                        # measured-rate ramp below grows the chunk as
+                        # soon as steps prove cheap.
+                        self._ff_steps = 1
                         self._ff_target_s = float(os.environ.get(
                             "UF_FF_TARGET_S", "20"))
                     n_chunk = self._ff_steps
@@ -638,8 +647,13 @@ class ModelRegion:
                         self.n_dt_ice += n_int
                         if n_int > 0 and wall > 0.0:
                             rate = wall / n_int
+                            # grow at most 4x per dispatch: per-step cost
+                            # can spike (forcing change -> visc restart),
+                            # and one dispatch must stay under the
+                            # tunnel's ~2 min liveness watchdog
                             self._ff_steps = int(max(1, min(
-                                self._ff_target_s / max(rate, 1e-5), 4000)))
+                                self._ff_target_s / max(rate, 1e-5),
+                                4 * self._ff_steps, 4000)))
                     else:
                         self.state = self.pc_step(
                             self.md, self.state,
