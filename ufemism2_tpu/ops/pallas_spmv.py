@@ -9,12 +9,21 @@ T in {2,4,8,16}) but its XLA formulation needed an inverse-row gather
 that defeated fusion. This module contracts each bucket inside ONE
 Pallas kernel per group:
 
-  grid = (n_blocks_in_group,)
-  per block b: DMA the [n_ops, 8, Tg, 128] coefficient block (bf16
-  hi/lo split halves, auto-double-buffered by Mosaic), gather the Tg
-  x-tiles from a VMEM-resident [2d, n_tiles, 128] split image of x,
-  contract on the MXU (three exact bf16 products: hi*xh + hi*xl +
-  lo*xh), and write the [n_ops, 8, d] result block.
+  grid = (nBg, Tg), Tg minor: step (b, t) DMAs the block's t-th
+  coefficient slice [n_ops, 8, 128] (bf16 hi/lo split halves) plus the
+  ONE x tile it references - the gather rides the scalar-prefetched
+  tile-id table through the BlockSpec index_map, so the DMA engine
+  fetches exactly the nonzero structure and nothing else. The product
+  is an elementwise VPU FMA reduced over lanes (this op is
+  bandwidth-bound; the MXU has nothing to win here), accumulated into
+  the block's [n_ops, 8, d] output, which Mosaic keeps VMEM-resident
+  across the Tg revisits.
+
+Numerics: hi*(xh+xl) + lo*xh evaluated in f32. xh+xl reconstructs x's
+f32 value exactly (bit-pattern split, ops/sparse._split_f32), each
+product then rounds at 2^-24 relative - strictly tighter than the
+MXU three-product scheme (hi*xh + hi*xl + lo*xh) it replaces, whose
+dropped lo*xl term costs 2^-17.
 
 The per-group outputs are reassembled with one [n_ops, n_rows, d]
 take() - ~2 MB against the ~500 MB slab read it replaces.
@@ -45,28 +54,34 @@ def _interpret_default():
         return True
 
 
-def _group_kernel(tids_ref, xs_ref, hi_ref, lo_ref, y_ref, *, Tg, d):
-    """One row-block of one T-bucket: contract [n_ops,8,Tg,128] (split
-    into bf16 hi/lo) against the block's gathered x tiles."""
-    b = pl.program_id(0)
+def _group_kernel(tids_ref, xs_ref, hi_ref, lo_ref, y_ref, *, d):
+    """Grid step (b, t): accumulate one tile-column of one row block.
+
+    xs_ref: [2d, 1, 128]  - the t-th referenced x tile (gathered by the
+                            index_map from the scalar-prefetched tids)
+    hi/lo:  [n_ops, 1, R, 1, 128] - the block's t-th coefficient slice
+    y_ref:  [n_ops, 1, R, d] - revisited across t (accumulator)
+    """
+    t = pl.program_id(1)
     f32 = jnp.float32
 
-    # gather the block's Tg x-tiles: xs is [2d, n_tiles, 128]
-    # (first d rows = xh planes, last d = xl planes)
-    cols = []
-    for c in range(2 * d):
-        rows = [xs_ref[c, tids_ref[b, t], :] for t in range(Tg)]
-        cols.append(jnp.stack(rows))                 # [Tg, 128] bf16
-    X = jnp.stack(cols, axis=-1)                     # [Tg, 128, 2d]
-    Xh = X[..., :d]
+    xh = xs_ref[:d, 0, :].astype(f32)                 # [d, 128]
+    xl = xs_ref[d:, 0, :].astype(f32)
+    hi = hi_ref[:, 0, :, 0, :].astype(f32)            # [n_ops, R, 128]
+    lo = lo_ref[:, 0, :, 0, :].astype(f32)
 
-    hi = hi_ref[:, 0]                                # [n_ops, 8, Tg, 128]
-    lo = lo_ref[:, 0]
-    dn = (((2, 3), (0, 1)), ((), ()))                # contract (Tg, 128)
-    y2 = jax.lax.dot_general(hi, X, dn, preferred_element_type=f32)
-    y = y2[..., :d] + y2[..., d:]                    # hi*xh + hi*xl
-    y = y + jax.lax.dot_general(lo, Xh, dn, preferred_element_type=f32)
-    y_ref[:, 0] = y                                  # [n_ops, 8, d]
+    xsum = xh + xl                # exact: reconstructs the f32 operand
+    p = (hi[:, :, None, :] * xsum[None, None, :, :]
+         + lo[:, :, None, :] * xh[None, None, :, :])  # [n_ops, R, d, 128]
+    ps = jnp.sum(p, axis=-1)                          # [n_ops, R, d]
+
+    @pl.when(t == 0)
+    def _init():
+        y_ref[:, 0] = ps
+
+    @pl.when(t > 0)
+    def _acc():
+        y_ref[:, 0] = y_ref[:, 0] + ps
 
 
 @functools.partial(jax.jit, static_argnames=("n_cols", "n_tiles"))
@@ -99,24 +114,23 @@ def grouped_apply_pallas(G, x, interpret=None):
     for tid, coef in zip(G.tile_ids, G.coef):
         hi, lo = coef                       # [n_ops, nBg, 8, Tg, 128] bf16
         n_ops, nBg, R, Tg, _ = hi.shape
-        kern = functools.partial(_group_kernel, Tg=Tg, d=d)
+        kern = functools.partial(_group_kernel, d=d)
         y = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(nBg,),
+                grid=(nBg, Tg),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),    # xs, resident
-                    pl.BlockSpec((n_ops, 1, R, Tg, 128),
-                                 lambda b, s: (0, b, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((n_ops, 1, R, Tg, 128),
-                                 lambda b, s: (0, b, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
+                    # the (b, t) gather: tids[b, t] picks the x tile
+                    pl.BlockSpec((2 * d, 1, 128),
+                                 lambda b, t, s: (0, s[b, t], 0)),
+                    pl.BlockSpec((n_ops, 1, R, 1, 128),
+                                 lambda b, t, s: (0, b, 0, t, 0)),
+                    pl.BlockSpec((n_ops, 1, R, 1, 128),
+                                 lambda b, t, s: (0, b, 0, t, 0)),
                 ],
                 out_specs=pl.BlockSpec((n_ops, 1, R, d),
-                                       lambda b, s: (0, b, 0, 0),
-                                       memory_space=pltpu.VMEM),
+                                       lambda b, t, s: (0, b, 0, 0)),
             ),
             out_shape=jax.ShapeDtypeStruct((n_ops, nBg, R, d), jnp.float32),
             interpret=bool(interpret),
