@@ -234,6 +234,15 @@ class GridOutputFile:
         for f in self.fields:
             self.nc.def_var(f, ("time", "y", "x"))
 
+    def update_mesh(self, mesh):
+        """Rebuild the mesh->grid maps after a mesh update; the file
+        and its history stay (grid output spans mesh generations)."""
+        from ..remap.atlas import get_map
+        from ..remap.conservative import build_map_nearest
+        self.M_a = get_map(mesh, self.grid)
+        self.M_b = build_map_nearest(mesh.TriGC, self.grid.centres(),
+                                     mesh.nTri)
+
     def write(self, time, state_fields: dict):
         first = True
         for f in self.fields:

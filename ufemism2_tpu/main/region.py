@@ -422,8 +422,18 @@ class ModelRegion:
         from ..io.output_files import MeshOutputFile, ScalarOutputFile
         out = Path(self.output_dir)
         out.mkdir(parents=True, exist_ok=True)
+        if not hasattr(self, "_out_gen"):
+            # mesh output files are numbered per mesh generation
+            # (reference: a new main_output_<R>_0000N.nc per mesh
+            # update, main_regional_output.f90). A fresh process
+            # resuming into an output dir with existing generations
+            # starts the next one so prior frames survive the resume.
+            existing = [p for p in out.glob(f"main_output_{self.name}_0*.nc")
+                        if "_grid" not in p.name]
+            self._out_gen = len(existing) + 1
         self.mesh_out = MeshOutputFile(
-            out / f"main_output_{self.name}_00001.nc", self.mesh)
+            out / f"main_output_{self.name}_{self._out_gen:05d}.nc",
+            self.mesh)
         self.scalar_out = ScalarOutputFile(
             out / f"scalar_output_{self.name}_00001.nc")
         # gridded main output (grid_output_files.f90; created for every
@@ -477,6 +487,43 @@ class ModelRegion:
             self.ismip_out = ISMIPOutput(
                 out / f"main_output_{self.name}_grid_ISMIP.nc", grid)
         self._outputs_open = True
+
+    def _rotate_outputs_for_new_mesh(self):
+        """Mesh update while outputs are open: rotate the mesh output
+        file to the next generation (the reference creates a fresh
+        main_output_<R>_0000N.nc per mesh, main_regional_output.f90)
+        and rebuild the mesh->target maps of the mesh-independent
+        files (gridded / transect / ISMIP / ROI masks), which stay
+        open and keep their history. Closing before reopening matters:
+        h5py refuses to truncate a path that still has a live handle."""
+        if not self._outputs_open:
+            return
+        from ..io.output_files import MeshOutputFile
+        out = Path(self.output_dir)
+        self.mesh_out.close()
+        self._out_gen += 1
+        self.mesh_out = MeshOutputFile(
+            out / f"main_output_{self.name}_{self._out_gen:05d}.nc",
+            self.mesh)
+        if getattr(self, "grid_out", None) is not None:
+            self.grid_out.update_mesh(self.mesh)
+        if getattr(self, "transect_out", []):
+            from ..models.transects import Transect
+            for tout in self.transect_out:
+                tout.tr = Transect(self.mesh, tout.tr.points, tout.tr.name)
+        if self.roi_scalar_out:
+            from matplotlib.path import Path as MplPath
+            from ..mesh.roi_polygons import calc_roi_polygon
+            for roi in list(self._roi_masks):
+                poly = calc_roi_polygon(roi)
+                self._roi_masks[roi] = jnp.asarray(
+                    MplPath(poly).contains_points(self.mesh.V))
+        if self.ismip_out is not None:
+            from ..remap.atlas import get_map
+            grid = self._ismip_grid
+            M = get_map(self.mesh, grid)
+            self._ismip_map = lambda f: (M @ np.asarray(f)).reshape(
+                grid.nx, grid.ny).T
 
     def write_output(self):
         if not hasattr(self, "_output_calc"):
@@ -998,7 +1045,7 @@ def _region_update_mesh(region):
     region.BMB = region.run_bmb(t, region.state, m0, fg0, region.ocean)
     region.LMB = region.run_lmb(t, region.state, m0)
     region.AMB = region.run_amb(t, region.state)
-    region._outputs_open = False  # new mesh -> new output file generation
+    region._rotate_outputs_for_new_mesh()  # new mesh -> next file generation
     region.t_last_mesh_update = t
 
 
