@@ -52,6 +52,10 @@ def main():
         method = args[0] if args else "H_dHdt_flowline"
         run = it.run_berends_nudging(method=method,
                                      scoreboard_dir=SCOREBOARD)
+    elif gate == "berends2":
+        method = args[0] if args else "H_dHdt_flowline"
+        run = it.run_berends_exp_II(method=method,
+                                    scoreboard_dir=SCOREBOARD)
     elif gate == "ismip_hom_matrix":
         runs = it.run_ismip_hom_matrix(SCOREBOARD)
         for r in runs:

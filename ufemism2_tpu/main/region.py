@@ -102,7 +102,9 @@ class ModelRegion:
             self.run_ocean = make_run_ocean(C, self.md, self.name,
                                             mesh=self.mesh)
             self.run_smb = make_run_smb(C, self.md, self.name)
-            self.run_bmb = make_run_bmb(C, self.md, self.name)
+            self.run_bmb = make_run_bmb(
+                C, self.md, self.name,
+                target_geometry=self._bmb_target_geometry)
             self.run_lmb = make_run_lmb(C, self.md, self.name)
             self.run_amb = make_run_amb(C, self.md, self.name)
             self.run_gia = make_run_gia(C, self.md, self.name, self.mesh)
@@ -376,6 +378,19 @@ class ModelRegion:
         self.state = self.state.replace(
             SL=jnp.full_like(self.state.SL, sealevel))
         return self
+
+    def _bmb_target_geometry(self):
+        """Target (Hi, shelf mask) for the inverted-BMB model from the
+        PD reference geometry (BMB_inverted.f90:70-96). Late-bound:
+        gates overwrite self.refgeo_PD with a spun-up/retreated state
+        before the inversion leg."""
+        from ..core.ice.geometry import thickness_above_flotation
+        Hi_t, Hb_t = self.refgeo_PD
+        Hi_t = jnp.asarray(Hi_t, self.md.A.dtype)
+        Hb_t = jnp.asarray(Hb_t, self.md.A.dtype)
+        taf = thickness_above_flotation(Hi_t, Hb_t, jnp.zeros_like(Hi_t))
+        shelf = (taf <= 0.0) & (Hi_t > 0.1)
+        return Hi_t, shelf
 
     def write_restart(self):
         """Force a restart write at the current model time (used by gate
@@ -944,7 +959,9 @@ def _region_update_mesh(region):
     region.run_ocean = make_run_ocean(C, region.md, region.name,
                                       mesh=region.mesh)
     region.run_smb = make_run_smb(C, region.md, region.name)
-    region.run_bmb = make_run_bmb(C, region.md, region.name)
+    region.run_bmb = make_run_bmb(
+        C, region.md, region.name,
+        target_geometry=region._bmb_target_geometry)
     region.run_lmb = make_run_lmb(C, region.md, region.name)
     region.run_amb = make_run_amb(C, region.md, region.name)
     region.run_gia = make_run_gia(C, region.md, region.name, region.mesh)
@@ -1046,6 +1063,12 @@ def _region_update_mesh(region):
     region.LMB = region.run_lmb(t, region.state, m0)
     region.AMB = region.run_amb(t, region.state)
     region._rotate_outputs_for_new_mesh()  # new mesh -> next file generation
+    # reset the dispatch-chunk estimator: the new mesh means a fresh
+    # compile and a different per-step cost, and a large carried chunk
+    # (compile + N steps in one dispatch) trips the remote tunnel's
+    # liveness watchdog exactly like the cold-start case
+    if hasattr(region, "_ff_steps"):
+        region._ff_steps = 1
     region.t_last_mesh_update = t
 
 

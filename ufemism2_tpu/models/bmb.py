@@ -29,8 +29,13 @@ def apply_bmb_subgrid_scheme(C, masks, fraction_gr, BMB_shelf):
     return jnp.where(fraction_gr == 0.0, BMB_shelf, 0.0)
 
 
-def make_run_bmb(C, md, region_name: str):
-    """Returns run(time, state, masks, fraction_gr, ocean) -> BMB [m/yr]."""
+def make_run_bmb(C, md, region_name: str, target_geometry=None):
+    """Returns run(time, state, masks, fraction_gr, ocean) -> BMB [m/yr].
+
+    target_geometry: optional zero-arg callable -> (Hi_target [nV],
+    mask_shelf_target [nV]) used by the 'inverted' choice; late-bound so
+    a gate/run can swap the target after region construction (the
+    reference reads it from filename_refgeo_PD, BMB_inverted.f90:70-96)."""
     choice = getattr(C, f"choice_BMB_model_{region_name}")
     nV = md.nV
     dtype = md.A.dtype
@@ -110,10 +115,13 @@ def make_run_bmb(C, md, region_name: str):
         def run(time, s, masks, fraction_gr, ocean=None):
             if cache["BMB"] is None:
                 cache["BMB"] = _jnp.zeros(nV, dtype)
-            # target shelf mask from the PD-like target geometry: use the
-            # current floating mask at initialisation
-            tgt_shelf = masks["mask_floating_ice"]
-            cache["BMB"] = inv(cache["BMB"], s, masks, s.Hi, tgt_shelf,
+            if target_geometry is not None:
+                Hi_t, tgt_shelf = target_geometry()
+            else:
+                # no target available: fall back to the current state
+                # (inversion becomes a pure dHi_dt damper)
+                Hi_t, tgt_shelf = s.Hi, masks["mask_floating_ice"]
+            cache["BMB"] = inv(cache["BMB"], s, masks, Hi_t, tgt_shelf,
                                time)
             return cache["BMB"]
         return run

@@ -346,6 +346,9 @@ def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
               f"steps={r.n_dt_ice}  axb={int(r.state.n_Axb_its)}  "
               f"wall={_time.perf_counter() - _tw:6.1f}s  "
               f"chunk={getattr(r, '_ff_steps', 0)}", flush=True)
+        # checkpoint every coupling interval: a tunnel-worker drop then
+        # costs at most dt_coupling of recompute, not the whole leg
+        r.write_restart()
         if C.refgeo_idealised_MISMIPplus_tune_A:
             Hs_prev = Hs_cur
             Hs_cur = float(np.asarray(r.state.Hs).max())
@@ -767,6 +770,194 @@ def run_berends_nudging(method="H_dHdt_flowline", resolution=40e3,
         "95% of ice velocity is within this fraction of its target",
         _r95(uabs_t[mask_b] + 5.0, uabs_i[mask_b] + 5.0))
     run.add_stability_info(_stability(r2))
+    if scoreboard_dir:
+        run.write(scoreboard_dir)
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Berends et al. (2023) bed-roughness nudging, experiment II
+# (Berends2023_nudging/experiment_II/): the MISMIP+ channel with a
+# Gaussian ice-stream trough in the till friction angle
+# (input_data/AA_create_experiment_II_data.m:20-26). A spinup with the
+# true roughness provides the target; the three friction-nudging methods
+# invert it back (configs 02-04); 'dHdt_invfric_invBMB' additionally
+# runs the 10-yr warm-ocean retreat (config 05) and inverts friction AND
+# basal melt simultaneously against the retreated geometry + dHi_dt
+# target (config 06, analyse_integrated_test_dHdt_invfric_invBMB.m).
+# ---------------------------------------------------------------------------
+
+def _berends_exp_II_roughness(V):
+    """Experiment-II till friction angle on points V (y centred on the
+    channel axis; the generator's y_c = 40 km sits mid-channel of its
+    0..80 km axis, AA_create_experiment_II_data.m:20-26)."""
+    phi_min, phi_max = 0.2, 2.0
+    x_c, sig_x, sig_y = 400e3, 150e3, 15e3
+    return phi_max - (phi_max - phi_min) * np.exp(
+        -0.5 * (((V[:, 0] - x_c) / sig_x) ** 2 + (V[:, 1] / sig_y) ** 2))
+
+
+def run_berends_exp_II(method="H_dHdt_flowline", resolution=10e3,
+                       t_spinup=5000.0, t_invert=2000.0, t_retreat=10.0,
+                       scoreboard_dir=None, output_dir=None):
+    """Experiment II at the given resolution (reference: 5 km, 20 kyr
+    spinup; the gate scales both down and records them in the
+    scoreboard name)."""
+    import jax.numpy as jnp
+    import tempfile
+    from ..io.ncio import NCFile
+    cfg = (REF_TESTS / "idealised/Berends2023_nudging/experiment_II"
+           / "config_01_exp_II_spinup_5km.cfg")
+
+    # exp-II bed roughness input file (the reference ships a MATLAB
+    # generator; the channel is re-centred on y=0)
+    tmp = tempfile.mkdtemp(prefix="berends2_")
+    gx = np.arange(0.0, 800e3 + 1, resolution / 2)
+    gy = np.arange(-40e3, 40e3 + 1, resolution / 2)
+    GX, GY = np.meshgrid(gx, gy, indexing="ij")
+    phi_g = _berends_exp_II_roughness(
+        np.stack([GX.ravel(), GY.ravel()], 1))
+    rough_file = f"{tmp}/exp_II_bed_roughness.nc"
+    with NCFile(rough_file, "w") as nc:
+        nc.def_dim("x", len(gx))
+        nc.def_dim("y", len(gy))
+        nc.def_var("x", ("x",), units="m"); nc.put("x", gx)
+        nc.def_var("y", ("y",), units="m"); nc.put("y", gy)
+        nc.def_var("till_friction_angle", ("x", "y"), units="degrees")
+        nc.put("till_friction_angle", phi_g.reshape(GX.shape))
+
+    common = dict(
+        end_time_of_run=t_spinup,
+        choice_refgeo_init_ANT="idealised",
+        choice_refgeo_PD_ANT="idealised",
+        choice_refgeo_GIAeq_ANT="idealised",
+        choice_refgeo_init_idealised="MISMIPplus",
+        choice_refgeo_PD_idealised="MISMIPplus",
+        choice_refgeo_GIAeq_idealised="MISMIPplus",
+        refgeo_idealised_MISMIPplus_Hi_init=100.0,
+        ymin_ANT=-40e3, ymax_ANT=40e3,
+        maximum_resolution_uniform=resolution,
+        maximum_resolution_grounded_ice=resolution,
+        maximum_resolution_grounding_line=resolution,
+        ROI_maximum_resolution_grounding_line=resolution,
+        allow_mesh_updates=False,
+    )
+
+    # -- leg 1: spinup with the TRUE roughness ---------------------------
+    C1 = _load(cfg, choice_bed_roughness="read_from_file",
+               filename_bed_roughness_ANT=rough_file, **common)
+    r1 = _region(C1, output_dir)
+    phi_true = np.asarray(r1.state.bed_roughness)
+    dt = r1.md.A.dtype
+    r1.run_to(C1.end_time_of_run)
+
+    u3 = np.asarray(r1.state.u_3D_b)
+    v3 = np.asarray(r1.state.v_3D_b)
+    uabs_t = np.sqrt(u3[:, 0] ** 2 + v3[:, 0] ** 2)
+    Hs_t = np.asarray(r1.state.Hs)
+    Hi_t = np.asarray(r1.state.Hi)
+    Hb_t = np.asarray(r1.state.Hb)
+    mask_a = (Hs_t > 2.0) & np.asarray(r1.state.mask_grounded_ice)
+    mask_b = mask_a[r1.mesh.Tri].all(axis=1)
+
+    from ..core.ice.geometry import (ice_surface_elevation,
+                                     thickness_above_flotation)
+
+    def _start_from(r, Hi0):
+        Hi_j = jnp.asarray(Hi0, dt)
+        Hb_j = r.state.Hb
+        Hs_j = ice_surface_elevation(Hi_j, Hb_j, r.state.SL)
+        r.state = r.state.replace(
+            Hi=Hi_j, Hi_prev=Hi_j, Hi_next=Hi_j, Hs=Hs_j, Hib=Hs_j - Hi_j,
+            TAF=thickness_above_flotation(Hi_j, Hb_j, r.state.SL))
+
+    run = ScoreboardRun(
+        name=f"exp_II_{method}_{int(resolution/1e3)}km",
+        category="integrated_tests/idealised/Berends2023_nudging")
+
+    if method == "dHdt_invfric_invBMB":
+        # -- leg 2: 10-yr warm-ocean retreat (config 05: MISMIP+ melt
+        # formula switched on) from the spun-up state -------------------
+        C5 = _load(cfg, choice_bed_roughness="read_from_file",
+                   filename_bed_roughness_ANT=rough_file,
+                   **dict(common, end_time_of_run=t_retreat,
+                          choice_BMB_model_ANT="idealised",
+                          choice_BMB_model_idealised="MISMIP+"))
+        r5 = _region(C5, output_dir)
+        _start_from(r5, Hi_t)
+        r5.run_to(C5.end_time_of_run)
+        Hi_ret = np.asarray(r5.state.Hi)
+        dHdt_ret = np.asarray(r5.state.dHi_dt)
+        BMB_ret = np.asarray(r5.BMB)
+
+        # -- leg 3: simultaneous friction + BMB inversion (config 06):
+        # target = retreated geometry + its dHi_dt --------------------
+        over6 = dict(common, end_time_of_run=t_invert,
+                     choice_bed_roughness="uniform",
+                     slid_ZI_phi_fric_uniform=float(phi_true.mean()),
+                     do_bed_roughness_nudging=True,
+                     choice_bed_roughness_nudging_method="H_dHdt_flowline",
+                     choice_BMB_model_ANT="inverted",
+                     do_target_dHi_dt=True)
+        C6 = _load(cfg, **over6)
+        r6 = _region(C6, output_dir)
+        r6.refgeo_PD = (Hi_ret, Hb_t)          # BMB + nudging target
+        _start_from(r6, Hi_ret)
+        r6.state = r6.state.replace(
+            dHi_dt_target=jnp.asarray(dHdt_ret, dt))
+        r6.run_to(C6.end_time_of_run)
+
+        phi_inv = np.asarray(r6.state.bed_roughness)
+        BMB_inv = np.asarray(r6.BMB)
+        shelf = np.asarray(r6.state.mask_floating_ice)
+        run.add_cost_function(
+            "r95_till_friction_angle",
+            "95% of till friction is within this fraction of its target",
+            _r95(phi_true[mask_a], phi_inv[mask_a]))
+        run.add_cost_function(
+            "p95_ice_thickness",
+            "95% of ice thickness is within this range of its target",
+            _p95(np.asarray(r6.state.Hs)[mask_a]
+                 - ice_surface_elevation(
+                     jnp.asarray(Hi_ret, dt), jnp.asarray(Hb_t, dt),
+                     r6.state.SL)[mask_a]))
+        if shelf.any():
+            run.add_cost_function(
+                "p95_BMB_shelf",
+                "95% of inverted shelf melt is within this range of the"
+                " retreat forcing", _p95(BMB_inv[shelf] - BMB_ret[shelf]))
+        run.add_stability_info(_stability(r6))
+    else:
+        # -- leg 2: friction-only inversion from uniform roughness ------
+        over2 = dict(common, end_time_of_run=t_invert,
+                     choice_bed_roughness="uniform",
+                     slid_ZI_phi_fric_uniform=float(phi_true.mean()),
+                     do_bed_roughness_nudging=True,
+                     choice_bed_roughness_nudging_method=method)
+        C2 = _load(cfg, **over2)
+        r2 = _region(C2, output_dir)
+        r2.refgeo_PD = (Hi_t, Hb_t)
+        _start_from(r2, Hi_t)
+        r2.run_to(C2.end_time_of_run)
+
+        phi_inv = np.asarray(r2.state.bed_roughness)
+        u3 = np.asarray(r2.state.u_3D_b)
+        v3 = np.asarray(r2.state.v_3D_b)
+        uabs_i = np.sqrt(u3[:, 0] ** 2 + v3[:, 0] ** 2)
+        run.add_cost_function(
+            "r95_till_friction_angle",
+            "95% of till friction is within this fraction of its target",
+            _r95(phi_true[mask_a], phi_inv[mask_a]))
+        run.add_cost_function(
+            "p95_ice_thickness",
+            "95% of ice thickness is within this range of its target",
+            _p95(np.asarray(r2.state.Hs)[mask_a] - Hs_t[mask_a]))
+        run.add_cost_function(
+            "r95_ice_velocity",
+            "95% of ice velocity is within this fraction of its target",
+            _r95(uabs_t[mask_b] + 5.0, uabs_i[mask_b] + 5.0))
+        run.add_stability_info(_stability(r2))
+
     if scoreboard_dir:
         run.write(scoreboard_dir)
     return run
