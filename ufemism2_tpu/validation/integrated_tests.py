@@ -988,6 +988,10 @@ def run_all_integrated_tests(scoreboard_dir, quick=True, verbose=True):
         for method in ("H_dHdt_flowline", "H_dHdt_local", "H_u_flowline"):
             runs.append(run_berends_nudging(method=method,
                                             scoreboard_dir=scoreboard_dir))
+        for method in ("H_dHdt_flowline", "H_dHdt_local", "H_u_flowline",
+                       "dHdt_invfric_invBMB"):
+            runs.append(run_berends_exp_II(method=method,
+                                           scoreboard_dir=scoreboard_dir))
     if verbose:
         for r in runs:
             print(r.summary())
