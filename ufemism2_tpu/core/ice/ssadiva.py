@@ -489,7 +489,11 @@ def make_precond_two_level(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b,
     # keep their aggregates nonsingular with an identity contribution
     nfree = jnp.zeros(nB, dt).at[blk].add(jnp.where(ok, 0.0, 1.0))
     Ac = Ac.at[diag].add(nfree).at[diag + n2 + 1].add(nfree)
-    lu, piv = jax.scipy.linalg.lu_factor(Ac.reshape(n2, n2))
+    # dense inverse, not LU: jnp.linalg.inv is the factorisation route
+    # proven stable on the remote TPU worker (the dense block-Jacobi
+    # preconditioner batch-inverts with it, PERF_NOTES round 3), and the
+    # coarse apply then fuses into one matvec per iteration
+    Ac_inv = jnp.linalg.inv(Ac.reshape(n2, n2))
 
     def M(r):
         ru, rv = r
@@ -497,7 +501,7 @@ def make_precond_two_level(md, N_b, dN_dx_b, dN_dy_b, beta_eff_b,
         rc = jnp.zeros(n2, dt) \
             .at[2 * blk].add(jnp.where(ok, ru, 0.0)) \
             .at[2 * blk + 1].add(jnp.where(ok, rv, 0.0))
-        zc = jax.scipy.linalg.lu_solve((lu, piv), rc)
+        zc = Ac_inv @ rc
         zu = zu + jnp.where(ok, zc[2 * blk], 0.0)
         zv = zv + jnp.where(ok, zc[2 * blk + 1], 0.0)
         return zu, zv
