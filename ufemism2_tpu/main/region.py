@@ -1069,6 +1069,13 @@ def _region_update_mesh(region):
     # liveness watchdog exactly like the cold-start case
     if hasattr(region, "_ff_steps"):
         region._ff_steps = 1
+    # drop every compiled executable from the old mesh generation: the
+    # remote TPU worker dies after a handful of in-process remeshes
+    # (each generation re-jits ~10 programs at new shapes and the old
+    # ones stay loaded), observed as 'TPU worker crashed' exactly at
+    # 'updating mesh' (gates_r3b.log, 2026-08-18). Recompiles of the
+    # live generation ride the persistent compilation cache.
+    jax.clear_caches()
     region.t_last_mesh_update = t
 
 
