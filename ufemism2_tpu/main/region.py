@@ -1025,7 +1025,6 @@ def _region_update_mesh(region):
         from ..core.ice.thermodynamics import (make_heat_solver,
                                                make_geothermal_flux,
                                                run_thermodynamics)
-        import jax
         region._heat_solver = make_heat_solver(C, region.md)
         region._geothermal = make_geothermal_flux(C, region.md)
         heat, geo = region._heat_solver, region._geothermal
