@@ -165,11 +165,77 @@ def _retry_tpu(fn, n=2):
             time.sleep(120)
 
 
+def _preempt_gate_chain():
+    """The axon TPU tunnel is exclusive: a live gate-chain attempt
+    (tools/run_gates_r3d.sh) holds the device and any second client hangs
+    forever. Stop the chain via its pidfile (every gate checkpoints and
+    resumes, so this costs only the in-flight attempt) and report whether
+    it must be relaunched after the bench."""
+    import os
+    import signal
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    pidfile = os.path.join(here, "validation_runs", "gates.pid")
+    if not os.path.exists(pidfile):
+        return False
+    try:
+        pid = int(open(pidfile).read().strip())
+    except ValueError:
+        return False
+    try:
+        os.killpg(pid, signal.SIGTERM)   # setsid => pid == pgid
+    except ProcessLookupError:
+        try:
+            os.remove(pidfile)
+        except OSError:
+            pass
+        return False
+    print(f"# paused gate chain (pgid {pid}) for the bench", flush=True)
+    time.sleep(10)
+    try:
+        os.killpg(pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+    try:
+        os.remove(pidfile)
+    except OSError:
+        pass
+    # wait for the tunnel to actually free up (probe in a subprocess so a
+    # hang can be bounded without poisoning this process's jax state)
+    import subprocess
+    for _ in range(10):
+        r = subprocess.run(
+            ["python", "-c",
+             "import jax; jax.numpy.zeros(8).block_until_ready()"],
+            capture_output=True, timeout=240)
+        if r.returncode == 0:
+            break
+        time.sleep(15)
+    return True
+
+
+def _relaunch_gate_chain():
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    log = open(os.path.join(here, "validation_runs", "gates_r3b.log"), "ab")
+    subprocess.Popen(
+        ["setsid", "nohup", "bash", "tools/run_gates_r3d.sh"],
+        stdout=log, stderr=subprocess.STDOUT, cwd=here)
+    print("# relaunched gate chain", flush=True)
+
+
 def main():
     import jax
 
-    mismip = _retry_tpu(bench_mismip)
-    halfar = _retry_tpu(bench_halfar)
+    relaunch = _preempt_gate_chain()
+    try:
+        mismip = _retry_tpu(bench_mismip)
+        halfar = _retry_tpu(bench_halfar)
+    finally:
+        if relaunch:
+            _relaunch_gate_chain()
 
     v = mismip["sim_yr_per_hr"]
     print(json.dumps({

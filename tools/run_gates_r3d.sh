@@ -9,6 +9,11 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p validation_runs
+# pidfile lets bench.py preempt the chain: the axon TPU tunnel is
+# exclusive, so the end-of-round bench must stop the live attempt
+# (gates checkpoint + resume) and relaunch the chain when it is done.
+echo $$ > validation_runs/gates.pid
+trap 'rm -f validation_runs/gates.pid' EXIT
 LOG="validation_runs/gates_r3b.log"
 STALL_S=${STALL_S:-900}
 MAX_STUCK=${MAX_STUCK:-4}
