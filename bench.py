@@ -176,30 +176,41 @@ def _preempt_gate_chain():
 
     here = os.path.dirname(os.path.abspath(__file__))
     pidfile = os.path.join(here, "validation_runs", "gates.pid")
+    # the in-flight attempt runs under GNU timeout in its OWN process
+    # group — kill it too or the orphan keeps holding the TPU tunnel
+    attemptfile = os.path.join(here, "validation_runs", "gate_attempt.pid")
     if not os.path.exists(pidfile):
         return False
-    try:
-        pid = int(open(pidfile).read().strip())
-    except ValueError:
-        return False
-    try:
-        os.killpg(pid, signal.SIGTERM)   # setsid => pid == pgid
-    except ProcessLookupError:
+
+    def _killpg_file(path, sig):
         try:
-            os.remove(pidfile)
+            pgid = int(open(path).read().strip())
+        except (OSError, ValueError):
+            return False
+        try:
+            os.killpg(pgid, sig)
+            return True
+        except ProcessLookupError:
+            return False
+
+    alive = _killpg_file(pidfile, signal.SIGTERM)   # setsid => pid == pgid
+    _killpg_file(attemptfile, signal.SIGTERM)
+    if not alive:
+        for p in (pidfile, attemptfile):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return False
+    print("# paused gate chain for the bench", flush=True)
+    time.sleep(10)
+    _killpg_file(pidfile, signal.SIGKILL)
+    _killpg_file(attemptfile, signal.SIGKILL)
+    for p in (pidfile, attemptfile):
+        try:
+            os.remove(p)
         except OSError:
             pass
-        return False
-    print(f"# paused gate chain (pgid {pid}) for the bench", flush=True)
-    time.sleep(10)
-    try:
-        os.killpg(pid, signal.SIGKILL)
-    except ProcessLookupError:
-        pass
-    try:
-        os.remove(pidfile)
-    except OSError:
-        pass
     # wait for the tunnel to actually free up (probe in a subprocess so a
     # hang can be bounded without poisoning this process's jax state)
     import subprocess

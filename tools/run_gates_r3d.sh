@@ -35,9 +35,14 @@ wait_for_tpu() {
 }
 
 run_guarded() {
-  # run "$@" in the background, kill it if $LOG stops growing
+  # run "$@" in the background, kill it if $LOG stops growing.
+  # GNU timeout makes the attempt its own process-group leader, so
+  # kills must target the GROUP (-$pid): killing only the timeout
+  # process orphans the python child, which keeps holding the
+  # exclusive TPU tunnel and wedges every later attempt.
   "$@" &
   local pid=$!
+  echo "$pid" > validation_runs/gate_attempt.pid
   local last_size=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
   local last_t=$(date +%s)
   while kill -0 "$pid" 2>/dev/null; do
@@ -48,14 +53,18 @@ run_guarded() {
       last_size=$cur; last_t=$now
     elif [ $((now - last_t)) -ge "$STALL_S" ]; then
       echo "=== STALL: no log growth for ${STALL_S}s, killing attempt ==="
-      kill "$pid" 2>/dev/null
+      kill -- -"$pid" 2>/dev/null
       sleep 5
-      kill -9 "$pid" 2>/dev/null
+      kill -9 -- -"$pid" 2>/dev/null
       wait "$pid" 2>/dev/null
+      rm -f validation_runs/gate_attempt.pid
       return 99
     fi
   done
-  wait "$pid"
+  local rc=0
+  wait "$pid" || rc=$?
+  rm -f validation_runs/gate_attempt.pid
+  return $rc
 }
 
 run_gate() {
