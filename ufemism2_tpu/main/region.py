@@ -1076,6 +1076,14 @@ def _region_update_mesh(region):
     # live generation ride the persistent compilation cache.
     jax.clear_caches()
     region.t_last_mesh_update = t
+    # checkpoint the remeshed state IMMEDIATELY: the first dispatch at
+    # the new shapes is where the remote TPU worker historically dies
+    # (gates_r3b.log), and without a post-remesh restart every retry
+    # redoes the whole remesh in-process and dies the same way. With
+    # it, a crashed attempt resumes straight onto the new mesh in a
+    # fresh process (the gate resume path rebuilds the mesh from the
+    # restart's V/Tri, integrated_tests._mismip_resume_region).
+    region.write_restart()
 
 
 ModelRegion.update_mesh = _region_update_mesh
