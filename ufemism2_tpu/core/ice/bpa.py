@@ -19,11 +19,16 @@ inside the standard viscosity iteration.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# per-solve Krylov budget: device-liveness valve for the remote TPU
+# worker's blocking-call watchdog (see core/ice/pc.py)
+_AXB_SOLVE_BUDGET = int(os.environ.get("UF_AXB_SOLVE_BUDGET", "8000"))
 
 from ..mesh_data import MeshData
 from ...utils.constants import ice_density, grav
@@ -334,7 +339,8 @@ def make_solve_bpa(C, md: MeshData, bedrock_cdfs=None):
                              n_axb=c.n_axb + res.n_iter, done=converged)
 
         def cond(c: _BPACarry):
-            return (~c.done) & (c.it <= C.visc_it_nit)
+            return ((~c.done) & (c.it <= C.visc_it_nit)
+                    & (c.n_axb < _AXB_SOLVE_BUDGET))
 
         dtype = md.A.dtype
         init = _BPACarry(

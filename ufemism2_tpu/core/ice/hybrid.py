@@ -29,11 +29,16 @@ triangle-adjacency dilation since both operators' stencils are local.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# per-solve Krylov budget: device-liveness valve for the remote TPU
+# worker's blocking-call watchdog (see core/ice/pc.py)
+_AXB_SOLVE_BUDGET = int(os.environ.get("UF_AXB_SOLVE_BUDGET", "8000"))
 
 from ..mesh_data import MeshData
 from ...utils.constants import ice_density, grav
@@ -564,7 +569,8 @@ def make_solve_hybrid(C, md: MeshData, mask_BPA_b: np.ndarray,
                 it=c.it + 1, n_axb=c.n_axb + res.n_iter, done=converged)
 
         def cond(c: _HybridCarry):
-            return (~c.done) & (c.it <= C.visc_it_nit)
+            return ((~c.done) & (c.it <= C.visc_it_nit)
+                    & (c.n_axb < _AXB_SOLVE_BUDGET))
 
         nTri = md.nTri
         init = _HybridCarry(

@@ -10,11 +10,19 @@ corrector all run on-device in one XLA program per ice-dynamics step.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Device-liveness Krylov budgets (see the cond() notes below). Sized so
+# that a budget-capped step/dispatch stays well under the remote TPU
+# worker's ~2-min blocking-call watchdog at the measured ~2.5 ms/it;
+# healthy steps use ~100-500 its so these trip only in pathology.
+_AXB_STEP_BUDGET = int(os.environ.get("UF_AXB_STEP_BUDGET", "16000"))
+_AXB_DISPATCH_BUDGET = int(os.environ.get("UF_AXB_DISPATCH_BUDGET", "6000"))
 
 from ...parallel import comm
 from ..mesh_data import MeshData, EField
@@ -266,7 +274,13 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
                 done=done)
 
         def cond(c: _PCCarry):
-            return (~c.done) & (c.it < nit_max)
+            # the Krylov budget is a device-liveness valve: the remote
+            # TPU worker's watchdog kills any single dispatch blocking
+            # longer than ~2 min, so one step's retry cascade must never
+            # be allowed to burn unbounded solver work (the reference
+            # has no such physical bound - its host loop just runs long)
+            return ((~c.done) & (c.it < nit_max)
+                    & (c.n_Axb_its < _AXB_STEP_BUDGET))
 
         init = _PCCarry(
             it=jnp.int32(0), dt=dt, eta=s.pc.eta_np1,
@@ -332,14 +346,20 @@ def make_pc_multistep(C, pc_step, thermo_step=None):
     if thermo_step is None:
         def multi(md, s, t_stop, dt_max, SMB, BMB, LMB,
                   n_max=jnp.int32(2 ** 30)):
+            axb0 = s.n_Axb_its
+
             def cond(c):
                 s, n = c
                 # n_max hard-bounds the dispatch length: the remote-TPU
                 # tunnel kills dispatches that run for minutes ('TPU
                 # worker crashed'), and a dt collapse inside the window
                 # would otherwise turn a 50-yr t_stop into 500 steps.
-                # run_to adapts n_max to a wall-clock target.
-                return (s.t_Hi_next < t_stop - 1e-9) & (n < n_max)
+                # run_to adapts n_max to a wall-clock target. The Krylov
+                # budget catches solver-effort spikes MID-dispatch that
+                # the measured steps/s chunking cannot see (trajectory
+                # unchanged - the host just re-dispatches).
+                return ((s.t_Hi_next < t_stop - 1e-9) & (n < n_max)
+                        & (s.n_Axb_its - axb0 < _AXB_DISPATCH_BUDGET))
 
             def body(c):
                 s, n = c
@@ -354,9 +374,12 @@ def make_pc_multistep(C, pc_step, thermo_step=None):
 
     def multi_th(md, s, t_stop, dt_max, SMB, BMB, LMB, T_surf, t_th0,
                  n_max=jnp.int32(2 ** 30)):
+        axb0 = s.n_Axb_its
+
         def cond(c):
             s, n, t_th = c
-            return (s.t_Hi_next < t_stop - 1e-9) & (n < n_max)
+            return ((s.t_Hi_next < t_stop - 1e-9) & (n < n_max)
+                    & (s.n_Axb_its - axb0 < _AXB_DISPATCH_BUDGET))
 
         def body(c):
             s, n, t_th = c

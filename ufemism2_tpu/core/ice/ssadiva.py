@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# per-solve Krylov budget: device-liveness valve for the remote TPU
+# worker's blocking-call watchdog (see core/ice/pc.py)
+_AXB_SOLVE_BUDGET = int(os.environ.get("UF_AXB_SOLVE_BUDGET", "8000"))
+
 from ..mesh_data import MeshData, EField, EIndex
 from ...parallel import comm
 from ...utils.constants import ice_density, grav, seawater_density
@@ -877,7 +881,10 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
                 it=c.it + 1, n_axb=c.n_axb + res.n_iter, done=converged)
 
         def cond(c: _ViscCarry):
-            return (~c.done) & (c.it <= C.visc_it_nit)
+            # per-solve Krylov budget: a device-liveness valve (see
+            # pc.py _AXB_STEP_BUDGET) - healthy solves use ~100-500 its
+            return ((~c.done) & (c.it <= C.visc_it_nit)
+                    & (c.n_axb < _AXB_SOLVE_BUDGET))
 
         dtype = md.A.dtype
         nTri = md.nTri

@@ -930,9 +930,27 @@ def _region_update_mesh(region):
     new_state = remap_ice_state(s, new_state, (M_cons_a, M_b),
                                 (M_tri_a, M_b))
     Hi_new = Hi_new.astype(new_state.Hi.dtype)   # scipy remap yields f64
+    # reinitialise the PC controller from scratch at dt_ice_min exactly
+    # like the reference (remap_pc_scheme,
+    # predictor_corrector_scheme.f90:645-658): carrying the pre-remesh
+    # dt forward makes the first post-remesh step walk dt down through
+    # the full retry cascade (9 attempts x ~22 cold viscosity its x
+    # ~260 Krylov its ~= 50k Krylov its in ONE dispatch on the MISMIP+
+    # 5 km spinup), which exceeds the remote TPU worker's liveness
+    # watchdog and kills it (gates_r3b.log, root-caused 2026-08-19)
+    from ..core.ice.state import PCState
+    pc0 = new_state.pc
     new_state = new_state.replace(
         Hi=Hi_new, Hi_prev=Hi_new, Hi_next=Hi_new,
-        t_Hi_prev=s.t_Hi_next, t_Hi_next=s.t_Hi_next)
+        t_Hi_prev=s.t_Hi_next, t_Hi_next=s.t_Hi_next,
+        dt_ice=jnp.asarray(C.dt_ice_min, new_state.dt_ice.dtype),
+        pc=PCState(
+            dt_n=jnp.asarray(C.dt_ice_min, pc0.dt_n.dtype),
+            dt_np1=jnp.asarray(C.dt_ice_min, pc0.dt_np1.dtype),
+            eta_n=jnp.asarray(C.pc_epsilon, pc0.eta_n.dtype),
+            eta_np1=jnp.asarray(C.pc_epsilon, pc0.eta_np1.dtype),
+            dHi_dt_Hi_nm1_u_nm1=jnp.zeros_like(
+                pc0.dHi_dt_Hi_nm1_u_nm1)))
     region.state = new_state
 
     # rebuild jitted machinery + component models on the new mesh
