@@ -54,16 +54,21 @@ def bench_mismip():
     from ufemism2_tpu.config import load_config
     from ufemism2_tpu.main.region import ModelRegion
 
-    # Two windows on the same run, mesh updates ENABLED as the config
-    # asks (dt_mesh_update_min = 50 yr):
-    #   - fixed-mesh window (20..220 yr): stepping-loop throughput,
-    #     comparable across rounds (no remesh falls in it by
-    #     construction: the first fitness check at 50 yr keeps the mesh
-    #     while the slab geometry is young);
-    #   - amortised window (220..520 yr): includes every remesh event
-    #     (host rebuild + re-jit) the adaptive config triggers, so the
-    #     headline reflects the north-star run's real cost profile.
-    C = load_config(MISMIP_CFG, tpu_precision="f32")
+    # Two separate runs:
+    #   - fixed-mesh window (20..220 yr, allow_mesh_updates OFF):
+    #     stepping-loop throughput, comparable across rounds. Round 3
+    #     relied on "no remesh falls in the window by construction",
+    #     but the r3b warm-start fix changed the trajectory enough that
+    #     two remeshes (host rebuild + jax.clear_caches() + full re-jit
+    #     through the remote-compile tunnel, ~2 min each) landed inside
+    #     the measured window - that is the whole 8.3x 'regression' of
+    #     BENCH_r03 (20.6 ms/it vs the probe's 2.45). Disabling updates
+    #     here makes the throughput metric measure the stepping loop.
+    #   - amortised window (measured on a second region WITH adaptive
+    #     remeshing live), so the headline's cost profile of the
+    #     north-star run, remesh bursts included, stays reported.
+    C = load_config(MISMIP_CFG, tpu_precision="f32",
+                    allow_mesh_updates=False)
 
     t_build0 = time.perf_counter()
     region = ModelRegion(C, "ANT")
@@ -98,22 +103,27 @@ def bench_mismip():
         "x_GL_km": x_gl / 1e3,
     }
 
-    # amortised window: keep stepping with adaptive remeshing live. A
-    # tunnel-worker drop during the remesh recompile burst must not cost
-    # the round's headline number, so failures degrade to a note.
-    amort_window = 300.0
-    t_a0 = region.time
-    n_up0 = getattr(region, "n_mesh_updates", 0)
-    t0 = time.perf_counter()
+    # amortised window: a second region with adaptive remeshing LIVE
+    # (as the config asks), measured past the first remesh opportunity
+    # so every remesh burst (host rebuild + clear_caches + re-jit) is
+    # inside the window. A tunnel-worker drop during the recompile burst
+    # must not cost the round's headline number -> degrade to a note.
     try:
-        state = region.run_to(t_a0 + amort_window)
+        C_a = load_config(MISMIP_CFG, tpu_precision="f32")
+        region_a = ModelRegion(C_a, "ANT")
+        region_a.run_to(20.0)                     # warm-up / compile
+        amort_window = 300.0
+        t_a0 = region_a.time
+        n_up0 = getattr(region_a, "n_mesh_updates", 0)
+        t0 = time.perf_counter()
+        region_a.run_to(t_a0 + amort_window)
         wall_a = time.perf_counter() - t0
         out["amortised"] = {
             "sim_yr_per_hr": amort_window / wall_a * 3600.0,
             "wall_s": wall_a,
-            "n_mesh_updates": getattr(region, "n_mesh_updates", 0) - n_up0,
-            "nV_end": region.mesh.nV,
-            "x_GL_km": find_x_GL(region.mesh, region.state.TAF) / 1e3,
+            "n_mesh_updates": getattr(region_a, "n_mesh_updates", 0) - n_up0,
+            "nV_end": region_a.mesh.nV,
+            "x_GL_km": find_x_GL(region_a.mesh, region_a.state.TAF) / 1e3,
         }
     except Exception as e:                          # pragma: no cover
         out["amortised"] = {"error": str(e)[:300]}
@@ -182,16 +192,39 @@ def _preempt_gate_chain():
     if not os.path.exists(pidfile):
         return False
 
+    def _owned(pid):
+        """Only kill a pid/pgid that is actually a gate-chain process:
+        a stale committed pidfile must never take down an unrelated
+        process that recycled the id (ADVICE r3)."""
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ")
+            return b"run_gate" in cmd or b"run_gates" in cmd
+        except OSError:
+            return False
+
     def _killpg_file(path, sig):
         try:
             pgid = int(open(path).read().strip())
         except (OSError, ValueError):
             return False
+        if not _owned(pgid):
+            return False
         try:
             os.killpg(pgid, sig)
             return True
-        except ProcessLookupError:
-            return False
+        except OSError:
+            # started without setsid (pid != pgid): kill via the pid's
+            # real process group, then the pid itself (ADVICE r3)
+            try:
+                os.killpg(os.getpgid(pgid), sig)
+                return True
+            except OSError:
+                try:
+                    os.kill(pgid, sig)
+                    return True
+                except OSError:
+                    return False
 
     alive = _killpg_file(pidfile, signal.SIGTERM)   # setsid => pid == pgid
     _killpg_file(attemptfile, signal.SIGTERM)
@@ -215,12 +248,18 @@ def _preempt_gate_chain():
     # hang can be bounded without poisoning this process's jax state)
     import subprocess
     for _ in range(10):
-        r = subprocess.run(
-            ["python", "-c",
-             "import jax; jax.numpy.zeros(8).block_until_ready()"],
-            capture_output=True, timeout=240)
-        if r.returncode == 0:
-            break
+        try:
+            # the probe must FAIL on silent CPU fallback: a held tunnel
+            # makes jax fall back to CPU with returncode 0 (ADVICE r3)
+            r = subprocess.run(
+                ["python", "-c",
+                 "import jax; assert jax.devices()[0].platform != 'cpu'; "
+                 "jax.numpy.zeros(8).block_until_ready()"],
+                capture_output=True, timeout=240)
+            if r.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass        # tunnel still busy - keep waiting (ADVICE r3)
         time.sleep(15)
     return True
 
@@ -230,9 +269,9 @@ def _relaunch_gate_chain():
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    log = open(os.path.join(here, "validation_runs", "gates_r3b.log"), "ab")
+    log = open(os.path.join(here, "validation_runs", "gates_r4.log"), "ab")
     subprocess.Popen(
-        ["setsid", "nohup", "bash", "tools/run_gates_r3d.sh"],
+        ["setsid", "nohup", "bash", "tools/run_gates_r4.sh"],
         stdout=log, stderr=subprocess.STDOUT, cwd=here)
     print("# relaunched gate chain", flush=True)
 

@@ -208,3 +208,56 @@ def test_bedrock_cdf_grounded_fractions(small_mesh):
     assert fa.shape == (mesh.nV,) and fb.shape == (mesh.nTri,)
     assert (np.asarray(fa) >= 0).all() and (np.asarray(fa) <= 1).all()
     assert (np.asarray(fb) >= 0).all() and (np.asarray(fb) <= 1).all()
+
+
+def test_till_yield_stress_matches_reference(md):
+    """Pin the Coulomb/Budd/Zoet-Iverson till yield stress to the
+    reference's LITERAL formula tau_y = N_eff * tan(pi/180) * phi_deg
+    (sliding_laws.f90:158,214,379 - the reference linearises tan at
+    1 degree; it does NOT compute tan(phi*pi/180)), at till friction
+    angles 5 / 20 / 35 degrees."""
+    from ufemism2_tpu.core.ice.sliding import calc_basal_friction_coefficient
+    from ufemism2_tpu.core.ice.hydrology import run_basal_hydrology
+    from ufemism2_tpu.utils.constants import pi
+
+    nV = md.nV
+    Hi = jnp.full(nV, 1000.0)
+    Hb = jnp.full(nV, 100.0)
+    SL = jnp.zeros(nV)
+    m = determine_masks(md, Hi, Hb, SL)
+    fg = jnp.ones(nV)
+    u = jnp.full(nV, 100.0)
+    v = jnp.zeros(nV)
+    slope = jnp.zeros(nV)
+
+    for phi_deg in (5.0, 20.0, 35.0):
+        for law in ("Coulomb", "Budd", "Zoet-Iverson"):
+            C = Config(choice_sliding_law=law,
+                       choice_basal_hydrology_model="Martin2011")
+            rough = {"beta_sq": jnp.full(nV, 1.0e4),
+                     "till_friction_angle": jnp.full(nV, phi_deg),
+                     "alpha_sq": jnp.full(nV, 0.5)}
+            beta = np.asarray(calc_basal_friction_coefficient(
+                C, md, rough, u, v, Hi, Hi, Hb, SL, slope, fg, m))
+
+            # expectation straight from sliding_laws.f90
+            _, _, N_eff = run_basal_hydrology(
+                C, Hi, Hb, SL, mask_grounded_ice=m["mask_grounded_ice"])
+            N_eff = np.asarray(N_eff)
+            uabs = np.sqrt(C.slid_delta_v ** 2 + 100.0 ** 2)
+            tau_y = N_eff * np.tan(pi / 180.0) * phi_deg
+            if law == "Coulomb":
+                want = tau_y / uabs
+            elif law == "Budd":
+                q = C.slid_Budd_q_plastic
+                want = tau_y * uabs ** (q - 1.0) \
+                    / C.slid_Budd_u_threshold ** q
+            else:
+                p = C.slid_ZI_p
+                want = (tau_y * uabs ** (1.0 / p - 1.0)
+                        * (uabs + C.slid_ZI_ut) ** (-1.0 / p))
+            want = np.minimum(C.slid_beta_max, want)
+            interior = np.asarray(m["mask_grounded_ice"]
+                                  & ~m["mask_gl_gr"] & ~m["mask_cf_gr"])
+            np.testing.assert_allclose(beta[interior], want[interior],
+                                       rtol=1e-6, err_msg=f"{law}@{phi_deg}")

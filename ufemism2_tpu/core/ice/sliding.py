@@ -102,6 +102,13 @@ def calc_basal_friction_coefficient(C, md: MeshData, bed_roughness,
         rough = apply_grounded_fractions_to_bed_roughness(
             C, masks, Hi, Hs_slope, fraction_gr,
             bed_roughness["till_friction_angle"])
+        # NOTE the reference's till yield stress is LINEAR in the till
+        # friction angle: tau_y = N * tan(pi/180) * phi_deg, i.e. the
+        # small-angle form tan(1 deg)*phi, NOT tan(phi*pi/180) - see
+        # sliding_laws.f90:158 (Coulomb), :214 (Budd), :379
+        # (Zoet-Iverson), all 'tan(pi / 180._dp) * bed_roughness_applied'.
+        # We match it exactly for parity (pinned by
+        # tests/test_physics.py::test_till_yield_stress_matches_reference).
         tau_y = N_eff * jnp.tan(pi / 180.0) * rough
         tau_y = _extend_till_yield_to_neighbours(md, masks, tau_y)
         if choice == "Coulomb":
