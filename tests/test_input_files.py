@@ -216,3 +216,35 @@ def test_series_0D(tmp_path):
     assert inp.read_field_from_file_0D(p, "CO2", 500.0) == pytest.approx(340.0)
     tt, dd = inp.read_series_from_file(p, "CO2")
     assert np.allclose(dd, co2)
+
+
+def test_geothermal_flux_from_file(tmp_path, mesh):
+    """read_from_file geothermal heat flux: read 'hflux' [W m^-2] from a
+    lon/lat file (Shapiro & Ritzwoller layout), remap to mesh, convert to
+    J m^-2 yr^-1 (geothermal_heat_flux.f90:50-61)."""
+    from ufemism2_tpu.config import Config
+    from ufemism2_tpu.core.mesh_data import build_mesh_data
+    from ufemism2_tpu.core.ice.thermodynamics import make_geothermal_flux
+    from ufemism2_tpu.utils.constants import sec_per_year
+
+    lon = np.linspace(0.0, 359.0, 180)
+    lat = np.linspace(-90.0, 90.0, 91)
+    hflux = 0.05 + 0.01 * np.cos(np.deg2rad(lat))[None, :] \
+        * np.ones((len(lon), 1))                       # [W m^-2]
+    p = tmp_path / "ghf.nc"
+    with NCFile(p, "w") as nc:
+        nc.def_dim("lon", len(lon))
+        nc.def_dim("lat", len(lat))
+        nc.def_var("lon", ("lon",)); nc.put("lon", lon)
+        nc.def_var("lat", ("lat",)); nc.put("lat", lat)
+        nc.def_var("hflux", ("lon", "lat"))
+        nc.put("hflux", hflux)
+
+    C = Config(choice_geothermal_heat_flux="read_from_file",
+               filename_geothermal_heat_flux=str(p))
+    md = build_mesh_data(mesh)
+    ghf = np.asarray(make_geothermal_flux(C, md))
+    # mesh sits at the south pole (ANT projection): expect ~0.05 W/m2
+    # (cos(lat) ~ 0 near -90) in yr units
+    want = (0.05 + 0.01 * np.cos(np.deg2rad(mesh.lat))) * sec_per_year
+    np.testing.assert_allclose(ghf, want, rtol=1e-3)

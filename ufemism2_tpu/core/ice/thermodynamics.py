@@ -343,10 +343,19 @@ def make_heat_solver(C, md: MeshData):
 def make_geothermal_flux(C, md: MeshData):
     # uniform value is already [J m^-2 yr^-1] (Sclater et al. 1980 default);
     # only read_from_file fields come in J m^-2 s^-1 and need conversion
+    # (geothermal_heat_flux.f90:50-61: read 'hflux' [W m^-2], remap to
+    # the mesh, multiply by sec_per_year)
     if C.choice_geothermal_heat_flux == "uniform":
         return jnp.full(md.nV, C.uniform_geothermal_heat_flux)
-    raise NotImplementedError(
-        "read_from_file geothermal flux arrives with the io layer")
+    if C.choice_geothermal_heat_flux == "read_from_file":
+        from ...io.input_files import read_field_from_file_2D
+        from ...utils.constants import sec_per_year as _spy
+        mesh = md._host_mesh
+        ghf = read_field_from_file_2D(
+            C.filename_geothermal_heat_flux, "hflux", mesh)
+        return jnp.asarray(ghf, md.A.dtype) * _spy
+    raise ValueError("unknown choice_geothermal_heat_flux "
+                     f"'{C.choice_geothermal_heat_flux}'")
 
 
 def run_thermodynamics(C, md: MeshData, s, dt, T_surf_annual, SMB, BMB,
