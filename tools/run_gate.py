@@ -56,6 +56,11 @@ def main():
         method = args[0] if args else "H_dHdt_flowline"
         run = it.run_berends_exp_II(method=method,
                                     scoreboard_dir=SCOREBOARD)
+    elif gate == "antarctica":
+        end = float(args[0]) if args else 2000.0
+        run = it.run_antarctica_40km(
+            os.path.join(RUNS, "antarctica_40km"), SCOREBOARD,
+            end_time=end)
     elif gate == "ismip_hom_matrix":
         runs = it.run_ismip_hom_matrix(SCOREBOARD)
         for r in runs:

@@ -94,16 +94,30 @@ run_gate() {
   return 1
 }
 
-run_gate mismipplus_spinup
-run_gate mismipplus_ice1r
-run_gate ssa
+# Interleaved stages: the 20 kyr spinup is run in 2 kyr instalments
+# (each call resumes from the newest restart) so a single long gate can
+# never starve the rest of the matrix of TPU time (round-3 failure mode).
+run_gate antarctica 500
+for t_spin in 2000 4000; do
+  run_gate mismipplus_spinup "$t_spin"
+done
+run_gate ismip_hom_matrix
 run_gate mismip_mod
+for t_spin in 6000 8000 10000 12000; do
+  run_gate mismipplus_spinup "$t_spin"
+done
 run_gate berends H_dHdt_flowline
 run_gate berends H_dHdt_local
 run_gate berends H_u_flowline
+run_gate antarctica 2000
+for t_spin in 14000 16000 18000 20000; do
+  run_gate mismipplus_spinup "$t_spin"
+done
+run_gate mismipplus_ice1r
+run_gate ssa
 run_gate berends2 H_dHdt_flowline
 run_gate berends2 H_dHdt_local
 run_gate berends2 H_u_flowline
 run_gate berends2 dHdt_invfric_invBMB
-run_gate ismip_hom_matrix
+run_gate antarctica 5000
 echo "=== ALL GATES DONE $(date -u) ==="

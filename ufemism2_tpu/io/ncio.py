@@ -172,6 +172,8 @@ FIELD_ALIASES = {
     "Hb": ["Hb", "bed", "topg", "bed_topography"],
     "Hs": ["Hs", "surface", "orog", "surface_topography"],
     "SL": ["SL", "sealevel"],
+    "dHdt": ["dHdt", "dHi_dt"],
+    "hflux": ["hflux", "GHF", "ghf", "geothermal_heat_flux"],
     "dHb": ["dHb"],
     "Ti": ["Ti"],
     "T_ocean": ["T_ocean", "t_ocean", "t_an", "votemper"],

@@ -199,6 +199,26 @@ class ModelRegion:
             self.LMB = self.run_lmb(self.time, self.state, m0)
             self.AMB = self.run_amb(self.time, self.state)
 
+            # target thinning rates from file (inversion spinups;
+            # initialise_dHi_dt_target, inversion_utilities.f90:32-90 +
+            # the SMB limit of UFEMISM_main_model.f90:1541-1547)
+            if getattr(C, "do_target_dHi_dt", False):
+                fname = getattr(C, f"filename_dHi_dt_target_{self.name}", "")
+                if fname and os.path.exists(fname):
+                    from ..io.input_files import read_field_from_file_2D
+                    tf = getattr(C, f"timeframe_dHi_dt_target_{self.name}",
+                                 1e9)
+                    tgt = jnp.asarray(read_field_from_file_2D(
+                        fname, "dHdt", self.mesh,
+                        time_to_read=None if tf == 1e9 else tf),
+                        self.state.Hi.dtype)
+                    if C.do_limit_target_dHi_dt_to_SMB:
+                        tgt = jnp.where(
+                            tgt > 0.0,
+                            jnp.maximum(0.0, jnp.minimum(tgt, self.SMB)),
+                            tgt)
+                    self.state = self.state.replace(dHi_dt_target=tgt)
+
             # initialise Ti
             ti_choice = getattr(C,
                                 f"choice_initial_ice_temperature_{self.name}")

@@ -159,7 +159,16 @@ def build_mesh_from_config(C, region: str = "ANT", geometry=None) -> Mesh:
     dx_refgeo_init_idealised.
     """
     if geometry is None:
-        from ..core.idealised_geometries import generate_idealised_geometry_grid
-        geometry = generate_idealised_geometry_grid(C, region)
+        if getattr(C, f"choice_refgeo_init_{region}") == "read_from_file":
+            # realistic path: mesh fitted to the gridded file geometry
+            # (mesh_creation.f90 create_mesh_from_gridded_geometry)
+            from ..io.input_files import read_geometry_grid_raw
+            x, y, fields = read_geometry_grid_raw(C, region)
+            geometry = (x, y, fields["Hi"], fields["Hb"],
+                        fields.get("SL"))
+        else:
+            from ..core.idealised_geometries import (
+                generate_idealised_geometry_grid)
+            geometry = generate_idealised_geometry_grid(C, region)
     x, y, Hi, Hb, SL = geometry
     return build_mesh_from_gridded_geometry(C, region, x, y, Hi, Hb, SL)

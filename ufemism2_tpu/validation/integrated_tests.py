@@ -282,6 +282,8 @@ def _mismip_resume_region(C, output_dir):
                 V, C.xmin_ANT, C.xmax_ANT, C.ymin_ANT, C.ymax_ANT,
                 nz=C.nz, choice_zeta_grid=C.choice_zeta_grid,
                 zeta_irregular_log_R=C.zeta_irregular_log_R, Tri=Tri)
+            from ..mesh.creation import set_mesh_lonlat
+            set_mesh_lonlat(mesh, C, "ANT")
             print(f"[gate] resuming from {resume_path} at t={t_res:.1f}",
                   flush=True)
         else:
@@ -996,3 +998,95 @@ def run_all_integrated_tests(scoreboard_dir, quick=True, verbose=True):
         for r in runs:
             print(r.summary())
     return runs
+
+
+# ---------------------------------------------------------------------------
+# Realistic Antarctica initialisation (the reference's flagship realistic
+# integrated test, automated_testing/integrated_tests/realistic/Antarctica/
+# initialisation/Ant_init_20kyr_invBMB_invfric_40km: BedMachine geometry,
+# RACMO climate snapshot + prescribed SMB, Shapiro-Ritzwoller geothermal
+# flux, target thinning rates, Zoet-Iverson + H_dHdt_flowline friction
+# nudging + inverted BMB, 3-D thermodynamics, adaptive remeshing).
+# The external/data inputs are not shipped with the reference, so the run
+# uses tools/gen_antarctica_synthetic.py's Antarctica-like dataset in the
+# SAME file formats - every realistic-pipeline code path is identical.
+# ---------------------------------------------------------------------------
+
+ANT_CFG = Path("/root/reference/automated_testing/integrated_tests/"
+               "realistic/Antarctica/initialisation/"
+               "Ant_init_20kyr_invBMB_invfric_40km/config.cfg")
+
+
+def run_antarctica_40km(output_dir, scoreboard_dir=None, end_time=2000.0,
+                        dt_restart=100.0, **overrides):
+    """Resumable realistic-Antarctica 40 km leg. Scores RMSE(Hi final vs
+    init) - the reference's anchor for the full 20 kyr run is 77.99 m -
+    plus ice volume/area, VAF and the stability counters."""
+    import sys as _sys
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tools"))
+    from gen_antarctica_synthetic import ensure_data
+
+    files = ensure_data()
+    over = {
+        "filename_refgeo_init_ANT": str(files["topo"]),
+        "filename_refgeo_PD_ANT": str(files["topo"]),
+        "filename_refgeo_GIAeq_ANT": str(files["topo"]),
+        "filename_climate_snapshot_ANT": str(files["climate"]),
+        "filename_SMB_prescribed_ANT": str(files["SMB"]),
+        "filename_dHi_dt_target_ANT": str(files["dHdt"]),
+        "filename_geothermal_heat_flux": str(files["ghf"]),
+        "end_time_of_run": end_time,
+        "dt_output_restart": dt_restart,
+        # the BedMachine timeframes in the reference config are 1e9
+        # (no time dimension) - our synthetic files likewise
+        "timeframe_refgeo_init_ANT": 1e9,
+        "timeframe_refgeo_PD_ANT": 1e9,
+        "timeframe_refgeo_GIAeq_ANT": 1e9,
+        "timeframe_dHi_dt_target_ANT": 1e9,
+    }
+    over.update(overrides)
+    C = _load(ANT_CFG, **over)
+
+    r, resumed = _mismip_resume_region(C, output_dir)
+    Hi_init = np.asarray(r.refgeo_PD[0])
+
+    import time as _time
+    t = float(r.time)
+    print(f"[gate] antarctica_40km t={t:.1f} -> {C.end_time_of_run:.0f} "
+          f"nV={r.mesh.nV}", flush=True)
+    while t < C.end_time_of_run - 1e-9:
+        t_next = min(t + C.dt_coupling, C.end_time_of_run)
+        _tw = _time.perf_counter()
+        r.run_to(t_next)
+        t = t_next
+        Hi_now = np.asarray(r.state.Hi)
+        vol = float((Hi_now * np.asarray(r.md.A)).sum()) / 1e15
+        print(f"[gate] t={t:9.1f}  vol={vol:8.3f}e6 km3  "
+              f"steps={r.n_dt_ice}  axb={int(r.state.n_Axb_its)}  "
+              f"wall={_time.perf_counter() - _tw:6.1f}s", flush=True)
+        r.write_restart()
+
+    Hi = np.asarray(r.state.Hi)
+    rmse_Hi = float(np.sqrt(((Hi - Hi_init) ** 2).mean()))
+    run = ScoreboardRun(name="Antarctica_init_40km_synthetic",
+                        category="integrated_tests/realistic/Antarctica")
+    run.add_cost_function(
+        "rmse_Hi_vs_init",
+        "sqrt(mean((Hi_final - Hi_init).^2)); reference's 20 kyr anchor "
+        "77.99 m (on real BedMachine data; this run uses the synthetic "
+        "realistic-format dataset, tools/gen_antarctica_synthetic.py)",
+        rmse_Hi)
+    A = np.asarray(r.md.A)
+    ice = Hi > 0.1
+    run.add_cost_function("ice_area_Mkm2", "ice-covered area",
+                          float(A[ice].sum()) / 1e12)
+    run.add_cost_function("ice_volume_mSLE_proxy", "sum(Hi*A)/3.62e14/sw",
+                          float((Hi * A).sum()) / 3.625e14 * 0.9167)
+    run.add_cost_function(
+        "mean_abs_dHi_dt", "mean |dHi/dt| at end (inversion settling)",
+        float(np.abs(np.asarray(r.state.dHi_dt)[ice]).mean()))
+    run.add_cost_function("t_end", "reached model time", float(r.time))
+    run.add_stability_info(_stability(r))
+    if scoreboard_dir:
+        run.write(scoreboard_dir)
+    return run
