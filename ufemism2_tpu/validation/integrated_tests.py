@@ -197,27 +197,39 @@ def run_ismip_hom_matrix(scoreboard_dir=None, experiments=("A", "B", "C",
                          output_dir=None, verbose=True):
     """The reference's full ISMIP-HOM matrix
     (analyse_integrated_test_ISMIP_HOM_{A..D}.m: 4 experiments x 6 domain
-    lengths x 3 approximations). With the HO ensemble data unavailable,
-    each (experiment, L) additionally records the cross-approximation
-    RMSE (BPA is the highest-order model here, so DIVA/SIASSA are scored
-    against it - the same role the ensemble band plays)."""
+    lengths x 3 approximations). The Pattyn 2008 HO ensemble ships
+    outside the reference repo ('external/data/model_ensembles'), so BPA
+    - the highest-order model here - plays the ensemble's role: every
+    DIVA/SIASSA cell is scored as rmse(u_surf vs BPA) with an explicit
+    PASS/FAIL band of 2x the reference's own published
+    rmse-vs-ensemble for that cell (the reference's deviation from the
+    HO ensemble mean bounds how far a shallower approximation may sit
+    from a full higher-order solution of the same problem).
+
+    Transect velocities are persisted as sidecar .npy files so a driver
+    retry resumes the crosscheck instead of silently skipping it."""
     import glob as _glob
+    side_dir = Path(output_dir) if output_dir else \
+        Path(__file__).resolve().parents[2] / "validation_runs/ismip_hom"
+    side_dir.mkdir(parents=True, exist_ok=True)
     runs = []
     for exp in experiments:
         for L in Ls:
             transects = {}
             for approx in approximations:
-                if scoreboard_dir and _glob.glob(str(
+                side = side_dir / f"u_{exp}_{approx}_L{L:03d}.npy"
+                if side.exists() and scoreboard_dir and _glob.glob(str(
                         Path(scoreboard_dir) / f"it_ideal_ISMIP_HOM_"
                         f"experiment_{exp}_{approx}_L{L:03d}_*.json")):
                     # already scored (incremental across driver retries)
+                    transects[approx] = np.load(side)
                     if verbose:
                         print(f"skip {exp}/{approx}/L{L:03d} (scored)",
                               flush=True)
-                    transects.pop(approx, None)
                     continue
                 run, u = run_ismip_hom(scoreboard_dir, exp, L, approx,
                                        output_dir, _return_transect=True)
+                np.save(side, u)
                 transects[approx] = u
                 runs.append(run)
                 if verbose:
@@ -227,6 +239,7 @@ def run_ismip_hom_matrix(scoreboard_dir=None, experiments=("A", "B", "C",
                 xrun = ScoreboardRun(
                     name=f"experiment_{exp}_crosscheck_L{L:03d}",
                     category="integrated_tests/idealised/ISMIP_HOM")
+                n_fail = 0
                 for approx, u in transects.items():
                     if approx == "BPA":
                         continue
@@ -234,6 +247,19 @@ def run_ismip_hom_matrix(scoreboard_dir=None, experiments=("A", "B", "C",
                     xrun.add_cost_function(
                         f"rmse_{approx}_vs_BPA",
                         "sqrt( mean( (u_surf - u_surf_BPA).^2 ))", rmse)
+                    ref = _ref_published_rmse(exp, approx, L)
+                    if ref is not None:
+                        band = 2.0 * ref[0]
+                        ok = rmse <= band
+                        n_fail += 0 if ok else 1
+                        xrun.add_cost_function(
+                            f"pass_{approx}",
+                            f"rmse_{approx}_vs_BPA <= 2x reference's "
+                            f"published rmse-vs-ensemble ({ref[0]:.2f})",
+                            1.0 if ok else 0.0)
+                xrun.add_cost_function("n_failed_cells",
+                                       "cells outside the 2x band",
+                                       float(n_fail))
                 runs.append(xrun)
                 if scoreboard_dir:
                     xrun.write(scoreboard_dir)
