@@ -8,6 +8,8 @@ dies (apply_maps.f90).
 
 from __future__ import annotations
 
+import itertools
+import weakref
 from typing import Optional
 
 import numpy as np
@@ -19,17 +21,38 @@ from .conservative import (build_map_conservative, build_map_nearest,
 
 
 class Atlas:
+    _uid_counter = itertools.count(1)
+
     def __init__(self):
         self._maps = {}
 
-    @staticmethod
-    def _id(obj):
-        return id(obj)
+    def _id(self, obj):
+        """Monotonic per-object UID. NOT id(obj): CPython reuses
+        addresses after GC, so over a long run with mesh updates a new
+        Mesh can inherit a dead mesh's id() and silently fetch its
+        stale remap matrix (observed as a (1991)x(2013) matmul mismatch
+        after ~20 remeshes, gates_r4.log mismip_mod). A weakref
+        finaliser purges a dead object's entries, bounding memory like
+        the reference's clear_all_maps_involving_this_mesh
+        (apply_maps.f90)."""
+        uid = getattr(obj, "_atlas_uid", None)
+        if uid is None:
+            uid = next(Atlas._uid_counter)
+            try:
+                object.__setattr__(obj, "_atlas_uid", uid)
+            except (AttributeError, TypeError):
+                # unweakrefable/frozen objects fall back to id() (grids
+                # are plain classes in practice, so this path is cold)
+                return id(obj)
+            weakref.finalize(obj, self._purge_uid, uid)
+        return uid
+
+    def _purge_uid(self, uid):
+        self._maps = {k: v for k, v in self._maps.items()
+                      if uid not in (k[0], k[1])}
 
     def clear_all_maps_involving(self, obj):
-        key_id = self._id(obj)
-        self._maps = {k: v for k, v in self._maps.items()
-                      if key_id not in (k[0], k[1])}
+        self._purge_uid(self._id(obj))
 
     def get(self, src, dst, method="2nd_order_conservative",
             src_grid_type="vertices"):
