@@ -1,0 +1,260 @@
+"""Reference-output parity harness.
+
+The reference commits checksum reductions of ITS OWN model outputs for
+its CI-sized integrated tests (automated_testing/UFEMISM/
+integrated_test_*/reference/*_checksum.nc, produced by
+reduce_all_netcdfs_in_folder_to_checksum.py: per variable
+[sum_finite, sum_abs_finite, min_finite, max_finite] + NaN/Inf counts).
+
+This harness runs the SAME config through ufemism2_tpu, reduces our
+outputs with the same statistics, and compares:
+
+  1. variable-name coverage - proves the claimed output-layout
+     compatibility (a reference user's analysis scripts find the same
+     variable names);
+  2. value parity on the GRIDDED output - both codes write onto the
+     identical square grid, so sums are discretised integrals and
+     min/max are field extrema: directly comparable between two
+     correct models of the same problem (within discretisation and
+     solver differences - the bands below);
+  3. min/max parity on the native-mesh output - the meshes differ, so
+     only extrema are compared, with a looser band.
+
+Usage: python tools/compare_vs_reference.py [halfar] [ssa] [--write]
+"""
+import json
+import os
+import sys
+import shutil
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ufemism2_tpu.io.ncio import NCFile
+
+REF = Path("/root/reference/automated_testing/UFEMISM")
+SCOREBOARD = Path(__file__).resolve().parent.parent / "scoreboard"
+
+# per-variable-class relative tolerance for the gridded comparison:
+# geometry integrates the same PDE (tight); velocities are diagnostic
+# of a nonlinear solve (looser); bookkeeping must match exactly
+BANDS_GRID = {"Hi": 0.02, "Hb": 0.02, "Hs": 0.02, "SL": 0.01,
+              "u_surf": 0.15, "v_surf": 0.15, "uabs_surf": 0.15,
+              "time": 1e-9}
+# velocity EXTREMA compare remap smoothing + margin mesh refinement, not
+# physics (our nearest-sampled triangle peaks vs the reference's
+# conservative remap; SIA slopes^3 at the margin are mesh-width
+# sensitive) - the integrals above are the physical parity statement
+BANDS_GRID_EXTREMA = {"u_surf": 0.5, "v_surf": 0.5, "uabs_surf": 0.5}
+BAND_MESH_EXTREMA = 0.10          # min/max on differing meshes
+BAND_MESH_EXTREMA_VEL = 0.5
+
+SKIP = {"checksum", "checksum_count", "vi", "ti", "ci", "ei", "vori",
+        "two", "three", "four", "zeta", "month", "depth", "x", "y",
+        "lon", "lat", "xmin", "xmax", "ymin", "ymax", "time",
+        # mesh bookkeeping: both codes build their OWN adaptive mesh, so
+        # V/Tri/A/R compare mesh-generator choices, not model physics
+        "V", "Tri", "TriGC", "A", "R", "Hib"}
+
+
+def _stats(a):
+    a = np.asarray(a, dtype=np.float64).ravel()
+    fin = a[np.isfinite(a)]
+    if fin.size == 0:
+        return np.zeros(4)
+    return np.array([fin.sum(), np.abs(fin).sum(), fin.min(), fin.max()])
+
+
+def read_checksum_file(path):
+    """{var: [sum, sum_abs, min, max]} from a reference *_checksum.nc."""
+    out = {}
+    import h5py
+    with h5py.File(path, "r") as f:
+        for k in f:
+            if k.endswith("_counts"):
+                continue
+            name = k.replace("_nc4_non_coord_", "")
+            v = np.asarray(f[k][...])
+            if v.shape == (4,):
+                out[name] = v
+    return out
+
+
+def reduce_our_file(path):
+    """Same reduction over one of our output files."""
+    out = {}
+    with NCFile(path) as nc:
+        import h5py
+        def walk(g, pre=""):
+            for k in g:
+                o = g[k]
+                if isinstance(o, h5py.Dataset):
+                    if o.dtype.kind in "fiu":
+                        out[pre + k] = _stats(o[...])
+                else:
+                    walk(o, pre + k + "_")
+        walk(nc.h5)
+    return out
+
+
+def _rel(a, b):
+    scale = max(abs(a), abs(b), 1e-12)
+    return abs(a - b) / scale
+
+
+def compare(ref_stats, our_stats, kind, report):
+    """kind: 'grid' (sum/sumabs/min/max) or 'mesh' (min/max only)."""
+    ref_vars = {k for k in ref_stats if k not in SKIP
+                and not k.startswith("_")}
+    n_found = 0
+    n_pass = 0
+    n_checked = 0
+    vel_keys = [k for k in ref_vars if k.split("_")[0] in ("u", "v",
+                                                           "uabs")]
+    vel_scale = max((abs(ref_stats[k][1]) for k in vel_keys), default=0.0)
+    for k in sorted(ref_vars):
+        ours = our_stats.get(k)
+        if ours is None:
+            report.append(f"  MISSING  {k}")
+            continue
+        n_found += 1
+        r = ref_stats[k]
+        # noise-dominated component (e.g. cross-stream v where the
+        # analytic flow is 0): its magnitude is each code's own
+        # discretisation noise - pass when ours is not LARGER than 2x
+        # the reference's (smaller noise is better, not a mismatch)
+        noise = (k in vel_keys and vel_scale > 0
+                 and abs(r[1]) < 0.05 * vel_scale)
+
+        def ex_ok(i, band):
+            # extrema compared on the FIELD scale: the 'min' of a
+            # one-signed field is noise around 0, not a physical value
+            scale = max(abs(r[2]), abs(r[3]), 1e-12)
+            return abs(r[i] - ours[i]) <= band * scale
+
+        if kind == "grid":
+            band = BANDS_GRID.get(k, 0.10)
+            band_ex = BANDS_GRID_EXTREMA.get(k, max(band * 2, 0.02))
+            if noise:
+                ok = ours[1] <= 2.0 * r[1]
+            else:
+                ok = (_rel(r[1], ours[1]) <= band   # sum_abs: the integral
+                      and ex_ok(2, band_ex) and ex_ok(3, band_ex))
+            detail = (f"sumabs {r[1]:.4e}/{ours[1]:.4e} "
+                      f"min {r[2]:.4e}/{ours[2]:.4e} "
+                      f"max {r[3]:.4e}/{ours[3]:.4e}"
+                      + (" [noise-dominated]" if noise else ""))
+        else:
+            band = BAND_MESH_EXTREMA_VEL if k in vel_keys \
+                else BAND_MESH_EXTREMA
+            if noise:
+                ok = max(abs(ours[2]), abs(ours[3])) \
+                    <= 2.0 * max(abs(r[2]), abs(r[3]))
+            else:
+                ok = ex_ok(2, band) and ex_ok(3, band)
+            detail = (f"min {r[2]:.4e}/{ours[2]:.4e} "
+                      f"max {r[3]:.4e}/{ours[3]:.4e}"
+                      + (" [noise-dominated]" if noise else ""))
+        n_checked += 1
+        n_pass += int(ok)
+        report.append(f"  {'ok  ' if ok else 'FAIL'}  {k:24s} {detail}")
+    cov = n_found / max(len(ref_vars), 1)
+    return {"n_ref_vars": len(ref_vars), "n_found": n_found,
+            "coverage": cov, "n_checked": n_checked, "n_pass": n_pass}
+
+
+def run_halfar(write_scoreboard=False):
+    """integrated_test_Halfar_dome_small: Halfar 40 km 100 yr (+ static)."""
+    from ufemism2_tpu.config import load_config
+    from ufemism2_tpu.main.region import ModelRegion
+
+    test_dir = REF / "integrated_test_Halfar_dome_small"
+    results = {}
+    report = []
+    for sub in ("Halfar_40km", "Halfar_static_40km"):
+        cfg = test_dir / f"config_{sub}.cfg"
+        out = Path(tempfile.mkdtemp(prefix=f"parity_{sub}_"))
+        C = load_config(str(cfg))
+        r = ModelRegion(C, "ANT", output_dir=str(out))
+        r.run_to(C.end_time_of_run)
+        for kind, fname, refname in (
+                ("mesh", "main_output_ANT_00001.nc",
+                 f"main_output_ANT_{sub}_00001_checksum.nc"),
+                ("grid", "main_output_ANT_grid.nc",
+                 f"main_output_ANT_{sub}_grid_checksum.nc")):
+            ref_p = test_dir / "reference" / refname
+            our_p = out / fname
+            if not ref_p.exists() or not our_p.exists():
+                report.append(f"{sub}/{kind}: file missing "
+                              f"(ref={ref_p.exists()} ours={our_p.exists()})")
+                continue
+            report.append(f"== {sub} / {kind} ==")
+            res = compare(read_checksum_file(ref_p), reduce_our_file(our_p),
+                          kind, report)
+            results[f"{sub}_{kind}"] = res
+        shutil.rmtree(out, ignore_errors=True)
+    return results, report
+
+
+def run_ssa(write_scoreboard=False):
+    """integrated_test_SSA_icestream_small."""
+    from ufemism2_tpu.config import load_config
+    from ufemism2_tpu.main.region import ModelRegion
+
+    test_dir = REF / "integrated_test_SSA_icestream_small"
+    cfgs = sorted(test_dir.glob("config*.cfg"))
+    results = {}
+    report = []
+    for cfg in cfgs:
+        out = Path(tempfile.mkdtemp(prefix="parity_ssa_"))
+        C = load_config(str(cfg))
+        r = ModelRegion(C, "ANT", output_dir=str(out))
+        r.run_to(C.end_time_of_run)
+        for kind, fname, refname in (
+                ("mesh", "main_output_ANT_00001.nc",
+                 "main_output_ANT_00001_checksum.nc"),
+                ("grid", "main_output_ANT_grid.nc",
+                 "main_output_ANT_grid_checksum.nc")):
+            ref_p = test_dir / "reference" / refname
+            our_p = out / fname
+            if not ref_p.exists() or not our_p.exists():
+                report.append(f"ssa/{kind}: file missing "
+                              f"(ref={ref_p.exists()} ours={our_p.exists()})")
+                continue
+            report.append(f"== SSA_icestream / {kind} ==")
+            res = compare(read_checksum_file(ref_p), reduce_our_file(our_p),
+                          kind, report)
+            results[f"ssa_{kind}"] = res
+        shutil.rmtree(out, ignore_errors=True)
+    return results, report
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    write = "--write" in sys.argv
+    which = args or ["halfar", "ssa"]
+    all_res = {}
+    for w in which:
+        res, report = {"halfar": run_halfar, "ssa": run_ssa}[w](write)
+        print("\n".join(report), flush=True)
+        all_res.update(res)
+    print(json.dumps(all_res, indent=1, default=float))
+    if write:
+        from ufemism2_tpu.validation.scoreboard import ScoreboardRun
+        run = ScoreboardRun(name="reference_output_parity",
+                            category="reproducibility")
+        for k, v in all_res.items():
+            run.add_cost_function(f"{k}_coverage",
+                                  "fraction of reference output variables "
+                                  "present under the same name", v["coverage"])
+            run.add_cost_function(f"{k}_pass_frac",
+                                  "fraction of compared stats within band",
+                                  v["n_pass"] / max(v["n_checked"], 1))
+        run.write(str(SCOREBOARD))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,9 +16,23 @@ import numpy as np
 from .ncio import NCFile
 
 
+# reference-named fields that live on the triangle (b) grid without the
+# _b suffix (the reference stores all velocities on triangles)
+B_GRID_FIELDS = {"u_surf", "v_surf", "uabs_surf",
+                 "u_base", "v_base", "uabs_base"}
+
+
+def _is_b_grid(name):
+    return name.endswith("_b") or name in B_GRID_FIELDS
+
+
 MESH_FIELDS_DEFAULT = ["Hi", "Hb", "Hs", "Hib", "SL", "dHi_dt",
                        "u_vav_b", "v_vav_b", "uabs_vav_b", "divQ",
-                       "fraction_gr", "Ti_base"]
+                       "fraction_gr", "Ti_base",
+                       # reference-compatible surface-velocity names
+                       # (main_regional_output.f90 default set; vertex
+                       # staggering here vs the reference's triangles)
+                       "u_surf", "v_surf", "uabs_surf"]
 
 
 def setup_mesh_in_file(nc: NCFile, mesh):
@@ -53,7 +67,7 @@ class MeshOutputFile:
         self.nc.def_dim("time", None)
         self.nc.def_var("time", ("time",), units="years")
         for f in fields:
-            grid = "ti" if f.endswith("_b") else "vi"
+            grid = "ti" if _is_b_grid(f) else "vi"
             self.nc.def_var(f, ("time", grid))
 
     def write(self, time, state_fields: dict):
@@ -249,8 +263,13 @@ class GridOutputFile:
             if f not in state_fields:
                 continue
             v = np.asarray(state_fields[f])
-            M = self.M_b if f.endswith("_b") else self.M_a
+            M = self.M_b if _is_b_grid(f) else self.M_a
             g = (M @ v).reshape(self.grid.nx, self.grid.ny).T   # [ny, nx]
+            # bound-preserving limiter: the 2nd-order conservative map
+            # has no monotonicity constraint, so clamp to the source
+            # field's range (the parity harness caught gridded Hi
+            # dipping to -60 m / overshooting the dome summit)
+            g = np.clip(g, v.min(), v.max())
             self.nc.append(f, g, coord=time if first else None)
             first = False
         self.nc.h5.flush()

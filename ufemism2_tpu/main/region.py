@@ -89,6 +89,13 @@ class ModelRegion:
             else:
                 raise ValueError(f"unknown choice_refgeo_init '{choice}'")
 
+            if getattr(C, "choice_sealevel_model", "fixed") == "fixed":
+                # the reference overrides the geometry file's SL with the
+                # configured fixed value at ice-model initialisation
+                # (ice_dynamics_main.f90:238) - found by the
+                # reference-output parity harness (SL -10 vs -10000)
+                SL = np.full_like(np.asarray(Hi, dtype=np.float64),
+                                  C.fixed_sealevel)
             self.state = init_ice_state(self.md, Hi, Hb, SL, nz=C.nz,
                                         dt_init=C.dt_ice_min)
             self.time = C.start_time_of_run
@@ -239,6 +246,30 @@ class ModelRegion:
                         getattr(C, "uniform_initial_ice_temperature_"
                                 + self.name)))
 
+            # initial stress-balance solve so the t=0 state (and output
+            # frame) carries real velocities - the reference solves at
+            # ice-dynamics initialisation (ice_dynamics_main.f90:1412 +
+            # initialise_velocity_solver:389); found by the parity
+            # harness (our first output frame had u == 0, halving the
+            # reference checksum's |u| integrals)
+            if getattr(C, f"choice_initial_velocity_{self.name}",
+                       "zero") == "zero" \
+                    and C.choice_stress_balance_approximation != "none" \
+                    and not os.environ.get("UF_NO_INIT_SOLVE"):
+                from ..core.ice.pc import make_solve_stress_balance
+                _solve0 = jax.jit(make_solve_stress_balance(
+                    C, self.md, bedrock_cdfs=self._bedrock_cdfs))
+                s0 = self.state
+                uv0, vv0, u30, v30, _, _, aux0 = _solve0(
+                    self.md, s0.Hi, s0.Hs, s0.Hb, s0.SL, s0.Ti, s0)
+                # materialise NOW: a device fault in this one-off program
+                # must surface here, attributable, not at the first
+                # output event's device_get minutes later
+                jax.block_until_ready(uv0)
+                self.state = s0.replace(
+                    u_vav_b=uv0, v_vav_b=vv0, u_3D_b=u30, v_3D_b=v30,
+                    **aux0)
+
             # event scheduling (UFEMISM_main_model.f90:598-609)
             t0 = self.time
             self.t_next = {
@@ -256,6 +287,12 @@ class ModelRegion:
                 "tracers": (t0 + C.tractrackpart_dt_coupling)
                 if C.choice_tracer_tracking_model == "particles" else _BIG,
                 "output": t0, "output_restart": t0,
+                # checksum oracle fires on its own deterministic event
+                # cadence: host-loop iterations are wall-clock-chunk
+                # dependent (adaptive dispatch sizing), so logging per
+                # iteration gave irreproducible logs between identical
+                # runs - event times are trajectory-determined only
+                "checksum": t0 if C.do_write_checksum_log else _BIG,
             }
             self.dt_comp = {
                 "climate": C.dt_climate, "ocean": C.dt_ocean,
@@ -265,6 +302,7 @@ class ModelRegion:
                 "basal_hydro": C.dt_basal_hydro,
                 "tracers": C.tractrackpart_dt_coupling,
                 "output": C.dt_output, "output_restart": C.dt_output_restart,
+                "checksum": min(C.dt_SMB, C.dt_BMB),
             }
 
             # Lagrangian tracer tracking (tracer_tracking_main.f90)
@@ -377,11 +415,15 @@ class ModelRegion:
             self._components_all = _components_all
 
     def _log_checksums(self):
-        """Checksum the hot ice fields after each ice-dynamics dispatch
-        (the reference's call points, ice_dynamics_main.f90:153-162).
-        The prognostic thickness lives in (Hi_prev, Hi_next); s.Hi is only
-        refreshed at output events, so interpolate to the current model
-        time first or the logged geometry is stale."""
+        """Checksum the hot ice fields at checksum-event times (the
+        reference's call points, ice_dynamics_main.f90:153-162; our
+        cadence is the fastest coupling interval). Event times are
+        trajectory-determined, and the step sequence is independent of
+        the adaptive dispatch chunking, so identical runs produce
+        bitwise-identical logs. The prognostic thickness lives in
+        (Hi_prev, Hi_next); s.Hi is only refreshed at output events, so
+        interpolate to the current model time first or the logged
+        geometry is stale."""
         import jax
         from ..core.ice.pc import interpolate_ice_to_time
         s = interpolate_ice_to_time(self.state, self.time)
@@ -575,13 +617,19 @@ class ModelRegion:
                                         v_vav_b=s.v_vav_b,
                                         dHi_dt=s.dHi_dt,
                                         dHi_dt_target=s.dHi_dt_target)
+                # surface velocities stay on triangles, like the
+                # reference (B_GRID_FIELDS routes them to the ti dim)
+                u_sf = s.u_3D_b[:, 0]
+                v_sf = s.v_3D_b[:, 0]
                 fields = {
                     "Hi": s.Hi, "Hb": s.Hb, "Hs": s.Hs, "Hib": s.Hib,
                     "SL": s.SL, "dHi_dt": s.dHi_dt,
                     "u_vav_b": s.u_vav_b, "v_vav_b": s.v_vav_b,
                     "uabs_vav_b": jnp.sqrt(s.u_vav_b ** 2 + s.v_vav_b ** 2),
                     "divQ": s.divQ, "fraction_gr": fg,
-                    "Ti_base": s.Ti[:, -1]}
+                    "Ti_base": s.Ti[:, -1],
+                    "u_surf": u_sf, "v_surf": v_sf,
+                    "uabs_surf": jnp.sqrt(u_sf ** 2 + v_sf ** 2)}
                 counters = (s.dt_ice, s.n_visc_its, s.n_Axb_its)
                 return fields, scal, counters
             self._output_calc = _output_calc
@@ -751,9 +799,6 @@ class ModelRegion:
                     check_state_for_nan(self.state,
                                         where=f"t={self.time:.3f}")
 
-                if self.checksum.enabled:
-                    self._log_checksums()
-
                 # advance region time to next action
                 t_candidates = [float(self.state.t_Hi_next)]
                 t_candidates += [t for t in self.t_next.values()]
@@ -765,6 +810,11 @@ class ModelRegion:
         if not hasattr(self, "_interp_j"):
             self._interp_j = jax.jit(interpolate_ice_to_time)
         self.state = self._interp_j(self.state, jnp.asarray(self.time))
+        # fire events due exactly AT t_end: the loop above exits first,
+        # but the reference writes output when region%time lands on an
+        # output time, including the final one (run_model_region) - the
+        # parity harness caught the missing final frame
+        self._run_components()
         self.wallclock = _time.perf_counter() - t0_wall
         return self.state
 
@@ -860,6 +910,10 @@ class ModelRegion:
                 self.state = self.state.replace(
                     bed_roughness=self.bed_roughness_state.generic)
             bump("bed_roughness")
+        if need("checksum"):
+            if self.checksum.enabled:
+                self._log_checksums()
+            bump("checksum")
         if need("output"):
             self.write_output()
             bump("output")
