@@ -27,8 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 # per-solve Krylov budget: device-liveness valve for the remote TPU
-# worker's blocking-call watchdog (see core/ice/pc.py)
-_AXB_SOLVE_BUDGET = int(os.environ.get("UF_AXB_SOLVE_BUDGET", "8000"))
+# worker's blocking-call watchdog (see core/ice/pc.py); OFF on local
+# backends where no watchdog exists and configs may ask for 5000 its
+_AXB_SOLVE_BUDGET = int(os.environ.get(
+    "UF_AXB_SOLVE_BUDGET",
+    "8000" if "axon" in os.environ.get("JAX_PLATFORMS", "") else str(2 ** 30)))
 
 from ..mesh_data import MeshData
 from ...utils.constants import ice_density, grav
@@ -94,6 +97,15 @@ def make_solve_bpa(C, md: MeshData, bedrock_cdfs=None):
     TriC = jnp.asarray(np.where(mask_TriC, mesh.TriC, 0), jnp.int32)
     mTriC = jnp.asarray(mask_TriC)
     n_nbr = jnp.asarray(mask_TriC.sum(axis=1), md.A.dtype)
+
+    # M2 operator diagonals for the vertical-line preconditioner's
+    # horizontal-diagonal contribution (same extraction as hybrid.py)
+    _dtype = md.A.dtype
+    _ops = mesh.operators
+    d_ddx = jnp.asarray(_ops.M2_ddx_b_b.diagonal(), _dtype)
+    d_ddy = jnp.asarray(_ops.M2_ddy_b_b.diagonal(), _dtype)
+    d_dxx = jnp.asarray(_ops.M2_d2dx2_b_b.diagonal(), _dtype)
+    d_dyy = jnp.asarray(_ops.M2_d2dy2_b_b.diagonal(), _dtype)
 
     def nbr_mean_residual(x):
         s = jnp.where(mTriC[:, :, None], x[TriC], 0.0).sum(axis=1)
@@ -275,16 +287,44 @@ def make_solve_bpa(C, md: MeshData, bedrock_cdfs=None):
                     bc_zero_v[:, None], v, nbr_mean_residual(v)))
                 return (Au, Av)
 
-            # Jacobi preconditioner: vertical-diffusion-dominant diagonal
-            diag_u = -(eta * Q_fac[:, None]) \
-                - beta_b[:, None] / Hi_b[:, None] - 1.0
-            diag_u = jnp.where(bc_free[:, None], diag_u, 1.0)
+            # Vertical-line preconditioner: the BPA operator is
+            # dominated by the vertical shear term eta*uzz (columns are
+            # metres thick, horizontally km wide), so solve the exact
+            # per-column tridiagonal of A_op - vertical diffusion +
+            # surface/sliding BC rows + the horizontal operators'
+            # diagonal - with the batched Thomas kernel. This is the
+            # 3-D counterpart of the SSA/DIVA block-Jacobi (the strength
+            # class of the reference's PETSc bjacobi+ILU).
+            from ...ops.tridiag import thomas_batched
+            zz2 = (zz_b ** 2 / dzeta ** 2)[:, None]           # [nTri,1]
+            ez_zz = (eta_z * zz_b[:, None]) / (2 * dzeta)
+            H_diag = (4 * eta * d_dxx[:, None] + eta * d_dyy[:, None]
+                      + 4 * eta_x * d_ddx[:, None]
+                      + eta_y * d_ddy[:, None])
+            sub = eta[:, 1:] * zz2 - ez_zz[:, 1:]     # coeff of u[k-1]
+            sup = eta[:, :-1] * zz2 + ez_zz[:, :-1]   # coeff of u[k+1]
+            dia = -2.0 * eta * zz2 + H_diag
+            # surface row (k=0): eta0*Q_fac*(u1 - u0)
+            dia = dia.at[:, 0].set(-eta[:, 0] * Q_fac + H_diag[:, 0])
+            sup = sup.at[:, 0].set(eta[:, 0] * Q_fac)
+            # base row: Q*(u[kb-1]-u[kb]) + R*beta/eta_base*u[kb]
+            Qb = Q_fac * eta[:, nz - 1]
+            Rb = 2 * eta[:, nz - 1] / dzeta * zz_b + eta_z[:, nz - 1]
+            dia = dia.at[:, nz - 1].set(
+                -Qb + Rb * beta_b / eta_base + H_diag[:, nz - 1])
+            sub = sub.at[:, nz - 2].set(Qb)
             if no_sliding:
-                diag_u = diag_u.at[:, nz - 1].set(1.0)
+                dia = dia.at[:, nz - 1].set(1.0)
+                sub = sub.at[:, nz - 2].set(0.0)
+            # BC (non-free) rows are identity over the whole column
+            dia = jnp.where(bc_free[:, None], dia, 1.0)
+            sub = jnp.where(bc_free[:, None], sub, 0.0)
+            sup = jnp.where(bc_free[:, None], sup, 0.0)
 
             def M_pre(r):
                 ru, rv = r
-                return (ru / diag_u, rv / diag_u)
+                return (thomas_batched(sub, dia, sup, ru),
+                        thomas_batched(sub, dia, sup, rv))
 
             b_u = jnp.where(bc_free[:, None],
                             jnp.broadcast_to(-tau_dx[:, None], c.u.shape),

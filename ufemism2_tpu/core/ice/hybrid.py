@@ -37,8 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 # per-solve Krylov budget: device-liveness valve for the remote TPU
-# worker's blocking-call watchdog (see core/ice/pc.py)
-_AXB_SOLVE_BUDGET = int(os.environ.get("UF_AXB_SOLVE_BUDGET", "8000"))
+# worker's blocking-call watchdog (see core/ice/pc.py); OFF on local
+# backends where no watchdog exists and configs may ask for 5000 its
+_AXB_SOLVE_BUDGET = int(os.environ.get(
+    "UF_AXB_SOLVE_BUDGET",
+    "8000" if "axon" in os.environ.get("JAX_PLATFORMS", "") else str(2 ** 30)))
 
 from ..mesh_data import MeshData
 from ...utils.constants import ice_density, grav

@@ -20,9 +20,20 @@ import jax.numpy as jnp
 # Device-liveness Krylov budgets (see the cond() notes below). Sized so
 # that a budget-capped step/dispatch stays well under the remote TPU
 # worker's ~2-min blocking-call watchdog at the measured ~2.5 ms/it;
-# healthy steps use ~100-500 its so these trip only in pathology.
-_AXB_STEP_BUDGET = int(os.environ.get("UF_AXB_STEP_BUDGET", "16000"))
-_AXB_DISPATCH_BUDGET = int(os.environ.get("UF_AXB_DISPATCH_BUDGET", "6000"))
+# healthy steps use ~100-500 its so these trip only in pathology. The
+# watchdog only exists on the remote (axon) backend - local CPU runs
+# (tests, parity harness, reference configs with visc_it_nit=5000) must
+# run their solves to completion, so the valves default OFF there.
+_ON_AXON = "axon" in os.environ.get("JAX_PLATFORMS", "")
+
+
+def _budget(env, axon_default):
+    return int(os.environ.get(env, str(axon_default if _ON_AXON
+                                       else 2 ** 30)))
+
+
+_AXB_STEP_BUDGET = _budget("UF_AXB_STEP_BUDGET", 16000)
+_AXB_DISPATCH_BUDGET = _budget("UF_AXB_DISPATCH_BUDGET", 6000)
 
 from ...parallel import comm
 from ..mesh_data import MeshData, EField
