@@ -65,7 +65,7 @@ def run_laddie_standalone(config_path: str, output_dir: str | None = None,
             "Hib": state.Hib,
             "dHib_dx_b": md.M_ddx_a_b @ state.Hib,
             "dHib_dy_b": md.M_ddy_a_b @ state.Hib,
-            "Ti_base": state.Ti[:, 0],
+            "Ti_base": state.Ti[:, 0] - 273.15,   # degC (forcing_main:169)
             "use_Ti": jnp.asarray(False),
             "z_ocean": jnp.asarray(ocean_depth_axis(C), md.A.dtype),
             "T_ocean": ocean["T"], "S_ocean": ocean["S"],

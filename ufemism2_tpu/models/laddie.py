@@ -462,7 +462,9 @@ def make_run_bmb_laddie(C, md: MeshData, region_name: str):
         dHib_dy_b = md.M_ddy_a_b @ s.Hib
         forcing = {
             "Hib": s.Hib, "dHib_dx_b": dHib_dx_b, "dHib_dy_b": dHib_dy_b,
-            "Ti_base": s.Ti[:, 0],
+            # surface-layer ice temperature in degC (the reference
+            # converts: laddie_forcing_main.f90:169 'ice%Ti - 273.15')
+            "Ti_base": s.Ti[:, 0] - 273.15,
             "use_Ti": jnp.asarray(C.choice_thermo_model != "none"),
             "z_ocean": jnp.asarray(ocean_depth_axis(C), md.A.dtype),
             "T_ocean": ocean["T"], "S_ocean": ocean["S"],
