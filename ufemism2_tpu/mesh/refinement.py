@@ -32,7 +32,8 @@ from .triangulation import (delaunay_triangulate, circumcenters,
 class UniformCriterion:
     res: float
 
-    def target(self, pts: np.ndarray, circ_r: np.ndarray) -> np.ndarray:
+    def target(self, pts: np.ndarray, circ_r: np.ndarray,
+               tri_v: np.ndarray | None = None) -> np.ndarray:
         return np.full(len(pts), self.res)
 
 
@@ -42,14 +43,19 @@ class PolygonCriterion:
     poly: np.ndarray   # [n,2]
     res: float
 
-    def target(self, pts: np.ndarray, circ_r: np.ndarray) -> np.ndarray:
+    def target(self, pts: np.ndarray, circ_r: np.ndarray,
+               tri_v: np.ndarray | None = None) -> np.ndarray:
         inside = points_in_polygon(pts, self.poly)
         return np.where(inside, self.res, np.inf)
 
 
 @dataclass
 class LineCriterion:
-    """res applies to triangles within width/2 (or their size) of a polyline.
+    """res applies to triangles crossed by the polyline OR with any vertex
+    within `width` of it (the reference's refine_mesh_line criterion,
+    mesh_refinement_basic.f90:428-440: segment-triangle intersection plus
+    lies_on_line_segment(.., width) on each of the three corners - note
+    the FULL width, not width/2, from the corners).
 
     The polyline is static across refinement rounds, so it is sampled once
     at spacing h and queried through a KD-tree; the h/2 sampling error is
@@ -76,9 +82,19 @@ class LineCriterion:
         self._h = h
         self._tree = cKDTree(samples)
 
-    def target(self, pts: np.ndarray, circ_r: np.ndarray) -> np.ndarray:
-        d = np.maximum(self._tree.query(pts)[0] - self._h / 2.0, 0.0)
-        hit = d <= np.maximum(self.width / 2.0, circ_r)
+    def target(self, pts: np.ndarray, circ_r: np.ndarray,
+               tri_v: np.ndarray | None = None) -> np.ndarray:
+        if tri_v is not None:
+            # corner-within-width leg of the reference criterion
+            d_corner = self._tree.query(
+                tri_v.reshape(-1, 2))[0].reshape(len(pts), 3).min(axis=1)
+            d_corner = np.maximum(d_corner - self._h / 2.0, 0.0)
+            # crossing leg: centroid within ~circumradius of the line
+            d_c = np.maximum(self._tree.query(pts)[0] - self._h / 2.0, 0.0)
+            hit = (d_corner <= self.width) | (d_c <= circ_r)
+        else:
+            d = np.maximum(self._tree.query(pts)[0] - self._h / 2.0, 0.0)
+            hit = d <= np.maximum(self.width, circ_r)
         return np.where(hit, self.res, np.inf)
 
 
@@ -88,7 +104,8 @@ class PointCriterion:
     points: np.ndarray  # [n,2]
     res: float
 
-    def target(self, pts: np.ndarray, circ_r: np.ndarray) -> np.ndarray:
+    def target(self, pts: np.ndarray, circ_r: np.ndarray,
+               tri_v: np.ndarray | None = None) -> np.ndarray:
         if len(self.points) == 0:
             return np.full(len(pts), np.inf)
         tree = cKDTree(self.points)
@@ -172,9 +189,10 @@ def refine_mesh(xmin, xmax, ymin, ymax,
         angs = smallest_angles(V, Tri)
         circ_r = np.linalg.norm(cc - gc, axis=1) + 0.5 * legs
 
+        tri_v = V[Tri]                           # [nTri,3,2] corners
         res_target = np.full(len(Tri), np.inf)
         for c in criteria:
-            res_target = np.minimum(res_target, c.target(gc, circ_r))
+            res_target = np.minimum(res_target, c.target(gc, circ_r, tri_v))
 
         bad = (legs > res_target * resolution_tolerance) | (angs < alpha_min)
         if not bad.any():
