@@ -36,25 +36,107 @@ MESH_FIELDS_DEFAULT = ["Hi", "Hb", "Hs", "Hib", "SL", "dHi_dt",
 
 
 def setup_mesh_in_file(nc: NCFile, mesh):
-    """Write the mesh description (netcdf_setup_grid_mesh_in_file.f90)."""
+    """Write the complete mesh description under the reference's names
+    (netcdf_setup_grid_mesh_in_file.f90 setup_mesh_in_netcdf_file): the
+    primary/secondary arrays, border indices, and the explicit Voronoi
+    tessellation, so the reference's read_mesh_from_file/plot_mesh
+    tooling consumes our files directly. Index arrays are converted to
+    the reference's 1-based, 0=none convention."""
+    from ..mesh.voronoi_mesh import (construct_voronoi_mesh, calc_EBI,
+                                     calc_TriBI, calc_EA)
+
+    EBI = calc_EBI(mesh)
+    vor = construct_voronoi_mesh(mesh, EBI=EBI)
+
     nc.def_dim("vi", mesh.nV)
     nc.def_dim("ti", mesh.nTri)
+    nc.def_dim("ci", mesh.nC_mem)
     nc.def_dim("ei", mesh.nE)
+    nc.def_dim("vori", vor["nVor"])
     nc.def_dim("two", 2)
     nc.def_dim("three", 3)
+    nc.def_dim("four", 4)
+    nc.def_dim("ci_vor", vor["VVor"].shape[1])
     nc.def_dim("zeta", mesh.nz)
-    nc.def_var("V", ("vi", "two"), units="m")
-    nc.put("V", mesh.V)
-    nc.def_var("Tri", ("ti", "three"))
-    nc.put("Tri", mesh.Tri.astype(np.float64) + 1)  # 1-based like reference
-    nc.def_var("TriGC", ("ti", "two"), units="m")
-    nc.put("TriGC", mesh.TriGC)
-    nc.def_var("A", ("vi",), units="m^2")
-    nc.put("A", mesh.A)
-    nc.def_var("R", ("vi",), units="m")
-    nc.put("R", mesh.R)
-    nc.def_var("zeta", ("zeta",))
-    nc.put("zeta", mesh.zeta)
+
+    def put(name, dims, data, **attrs):
+        nc.def_var(name, dims, **attrs)
+        nc.put(name, np.asarray(data))
+
+    def put_idx(name, dims, data):
+        # 1-based indices, 0 = none (reference convention)
+        put(name, dims, np.asarray(data, dtype=np.float64) + 1)
+
+    # domain + projection scalars
+    for k in ("xmin", "xmax", "ymin", "ymax"):
+        put(k, (), getattr(mesh, k), units="m")
+    put("tol_dist", (), 1e-9 * max(mesh.xmax - mesh.xmin,
+                                   mesh.ymax - mesh.ymin), units="m")
+    if mesh.proj is not None:
+        lam, phi, beta = mesh.proj
+        put("lambda_M", (), lam, units="degrees_east")
+        put("phi_M", (), phi, units="degrees_north")
+        put("beta_stereo", (), beta, units="degrees")
+
+    # primary
+    put("V", ("vi", "two"), mesh.V, units="m")
+    put("nC", ("vi",), mesh.nC)
+    put_idx("C", ("vi", "ci"), mesh.C)
+    put("niTri", ("vi",), mesh.niTri)
+    put_idx("iTri", ("vi", "ci"), mesh.iTri)
+    put("VBI", ("vi",), mesh.VBI)
+    put_idx("Tri", ("ti", "three"), mesh.Tri)
+    put("Tricc", ("ti", "two"), mesh.Tricc, units="m")
+    put_idx("TriC", ("ti", "three"), mesh.TriC)
+
+    # secondary
+    put("TriBI", ("ti",), calc_TriBI(mesh))
+    put("TriGC", ("ti", "two"), mesh.TriGC, units="m")
+    put("TriA", ("ti",), mesh.TriA, units="m^2")
+    put("A", ("vi",), mesh.A, units="m^2")
+    put("R", ("vi",), mesh.R, units="m")
+    if mesh.lon is not None:
+        put("lon", ("vi",), mesh.lon, units="degrees_east")
+        put("lat", ("vi",), mesh.lat, units="degrees_north")
+
+    # edges: the reference's EV is [nE,4] = (vi, vj, vil, vir)
+    vil = _edge_flank_vertices(mesh, side=0)
+    vir = _edge_flank_vertices(mesh, side=1)
+    put_idx("EV", ("ei", "four"),
+            np.column_stack([mesh.EV, vil, vir]))
+    put_idx("ETri", ("ei", "two"), mesh.ETri)
+    put("E", ("ei", "two"), mesh.E, units="m")
+    put_idx("VE", ("vi", "ci"), mesh.VE)
+    put_idx("TriE", ("ti", "three"), mesh.TriE)
+    put("EBI", ("ei",), EBI)
+    put("EA", ("ei",), calc_EA(mesh), units="m^2")
+
+    # Voronoi mirror
+    put_idx("vi2vori", ("vi",), vor["vi2vori"])
+    put_idx("ti2vori", ("ti",), vor["ti2vori"])
+    put_idx("ei2vori", ("ei",), vor["ei2vori"])
+    put_idx("vori2vi", ("vori",), vor["vori2vi"])
+    put_idx("vori2ti", ("vori",), vor["vori2ti"])
+    put_idx("vori2ei", ("vori",), vor["vori2ei"])
+    put("Vor", ("vori", "two"), vor["Vor"], units="m")
+    put("VornC", ("vori",), vor["VornC"])
+    put_idx("VorC", ("vori", "three"), vor["VorC"])
+    put("nVVor", ("vi",), vor["nVVor"])
+    put_idx("VVor", ("vi", "ci_vor"), vor["VVor"])
+
+    put("zeta", ("zeta",), mesh.zeta)
+
+
+def _edge_flank_vertices(mesh, side):
+    """Third vertex of the triangle on `side` of each edge (-1 if none):
+    the vil/vir columns of the reference's 4-wide EV."""
+    t = mesh.ETri[:, side]
+    ok = t >= 0
+    tri = mesh.Tri[np.maximum(t, 0)]                  # [nE,3]
+    is_end = ((tri == mesh.EV[:, 0:1]) | (tri == mesh.EV[:, 1:2]))
+    # exactly one corner of the flanking triangle is not an edge endpoint
+    flank = tri[np.arange(len(tri)), np.argmin(is_end, axis=1)]
+    return np.where(ok, flank, -1)
 
 
 class MeshOutputFile:
