@@ -70,6 +70,12 @@ def run_laddie_standalone(config_path: str, output_dir: str | None = None,
             "z_ocean": jnp.asarray(ocean_depth_axis(C), md.A.dtype),
             "T_ocean": ocean["T"], "S_ocean": ocean["S"],
         }
+        from ..models.laddie import make_calc_SGD
+        calc_sgd = make_calc_SGD(C, md)
+        if calc_sgd is not None:
+            forcing["SGD"] = calc_sgd(masks["mask_floating_ice"],
+                                      masks["mask_gl_fl"],
+                                      C.start_time_of_run)
         step_fn = make_laddie_step(C, md)
         lst = init_laddie_state(C, md, lm, forcing)
 

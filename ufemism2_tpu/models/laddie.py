@@ -61,6 +61,106 @@ def laddie_masks(md: MeshData, masks):
     return LaddieMasks(a=a, gr_a=gr_a, oc_a=oc_a, b=b, gl_b=gl_b, cf_b=cf_b)
 
 
+def make_calc_SGD(C, md: MeshData):
+    """Subglacial discharge source [m s^-1] on the a-grid, or None when
+    choice_laddie_SGD = 'none'.
+
+    Reference semantics (LADDIE_main_model.f90:130-146,
+    laddie_physics.f90:182-386, masks_mod.f90:504-605,
+    laddie_hydrology.f90):
+      'idealised'      - flux spread over floating-GL vertices inside a
+                         5 km y-band on the MISMIP+ channel (PC/PW/PE);
+      'read_from_file' - same, mask read from a 2-D file (>0 = channel);
+      'read_transects' - per-transect flux injected at the FIRST transect
+                         vertex on the floating grounding line, either
+                         into that single cell or distributed over it and
+                         up to two floating-GL neighbours.
+    The flux only applies from start_time_of_applying_SGD onward (the
+    transect variant has no time gate in the reference).
+
+    Returns calc(mask_a, mask_gl_fl, time[yr]) -> SGD [m s^-1].
+    """
+    choice = getattr(C, "choice_laddie_SGD", "none")
+    if choice == "none":
+        return None
+    import numpy as np
+    mesh = md._host_mesh
+    A = jnp.asarray(mesh.A, md.A.dtype)
+    t_start = C.start_time_of_applying_SGD
+
+    if choice in ("idealised", "read_from_file"):
+        if choice == "idealised":
+            y0 = {"MISMIPplus_PC": 0.0, "MISMIPplus_PW": 18e3,
+                  "MISMIPplus_PE": -18e3}[C.choice_laddie_SGD_idealised]
+            m_np = ((mesh.V[:, 1] > y0 - 2500.0)
+                    & (mesh.V[:, 1] < y0 + 2500.0))
+        else:
+            from ..io.input_files import read_field_from_file_2D
+            m_np = np.asarray(read_field_from_file_2D(
+                C.filename_laddie_mask_SGD, "mask_SGD", mesh)) > 0.0
+        mask_SGD = jnp.asarray(m_np)
+        flux = C.laddie_SGD_flux
+
+        def calc(mask_a, mask_gl_fl, time):
+            cond = mask_a & mask_gl_fl & mask_SGD
+            area = jnp.sum(jnp.where(cond, A, 0.0))
+            sgd = jnp.where(cond, flux / jnp.maximum(area, 1e-30), 0.0)
+            on = jnp.asarray(time >= t_start) & (area > 0.0)
+            return jnp.where(on, sgd, 0.0)
+        return calc
+
+    if choice == "read_transects":
+        from scipy.spatial import cKDTree
+        from .transects import parse_transect_str, resample_waypoints
+        tree = cKDTree(mesh.V)
+        transects = []
+        for ts in (t.strip() for t in C.transects_SGD.split("||")
+                   if t.strip()):
+            # reference strings use ',SF=<flux>' instead of ',dx='
+            i = ts.find(",SF=")
+            if i < 0:
+                raise ValueError(f"invalid SGD transect '{ts}': no SF=")
+            sf = float(ts[i + 4:])
+            src, name, fname, _ = parse_transect_str(ts[:i] + ",dx=100")
+            if src != "read_from_file":
+                raise ValueError("SGD transects must be 'file:...' "
+                                 "(laddie_hydrology.f90:92)")
+            wp = np.atleast_2d(np.loadtxt(
+                fname, comments=("!", "#", "&", "/")))[:, :2]
+            pts = resample_waypoints(wp, 100.0)
+            idx = tree.query(pts)[1]            # containing-vertex proxy
+            transects.append((jnp.asarray(idx), sf))
+        nbr = jnp.asarray(mesh.C)                # [nV, nC_mem], -1 pad
+        nbr_ok = jnp.asarray(mesh.C >= 0)
+        single = C.distribute_SGD == "single_cell"
+
+        def calc(mask_a, mask_gl_fl, time):
+            sgd = jnp.zeros(md.nV, md.A.dtype)
+            gl = mask_a & mask_gl_fl
+            for idx, sf in transects:
+                hits = gl[idx]
+                has = hits.any()
+                vi = idx[jnp.argmax(hits)]
+                if single:
+                    add = sf / A[vi]
+                    sgd = sgd.at[vi].add(jnp.where(has, add, 0.0))
+                else:
+                    # up to two floating-GL neighbours, in C order
+                    nb = nbr[vi]
+                    fl = gl[jnp.maximum(nb, 0)] & nbr_ok[vi]
+                    take = fl & (jnp.cumsum(fl.astype(jnp.int32)) <= 2)
+                    area = A[vi] + jnp.sum(
+                        jnp.where(take, A[jnp.maximum(nb, 0)], 0.0))
+                    w = jnp.where(has, sf / area, 0.0)
+                    sgd = sgd.at[vi].add(w)
+                    sgd = sgd.at[jnp.maximum(nb, 0)].add(
+                        jnp.where(take, w, 0.0))
+            return sgd
+        return calc
+
+    raise ValueError(f"unknown choice_laddie_SGD '{choice}'")
+
+
 def make_laddie_step(C, md: MeshData):
     """Build one pseudo-time fbrk3/euler step:
     step(state, lm, forcing) -> (state, diag) with melt in diag."""
@@ -277,8 +377,9 @@ def make_laddie_step(C, md: MeshData):
         ph = physics(npx_ref, lm, forcing, npx_ref.H, use_Ti)
 
         # -- thickness --
+        sgd = forcing.get("SGD", 0.0)        # subglacial discharge [m/s]
         dQH = divQH(npx_ref, lm)
-        dHdt0 = -dQH + ph["melt"] + ph["entr"]
+        dHdt0 = -dQH + ph["melt"] + ph["entr"] + sgd
         H_guess = npx_old.H + dHdt0 * dt_i
         entr_dmin = jnp.maximum(C.laddie_thickness_minimum - H_guess,
                                 0.0) / dt_i
@@ -286,7 +387,7 @@ def make_laddie_step(C, md: MeshData):
             C.laddie_thickness_maximum - H_guess, 0.0) / dt_i
         entr = jnp.where(entr_dmin > 0, jnp.maximum(entr, 0.0), entr)
         detr = -jnp.minimum(entr, 0.0)
-        dHdt = -dQH + ph["melt"] + entr + entr_dmin
+        dHdt = -dQH + ph["melt"] + entr + entr_dmin + sgd
         H_new = jnp.where(lm.a, npx_old.H + dHdt * dt_i, npx_old.H)
         H_new_b = map_H_a_b(lm, H_new)
         H_new_c = map_H_a_c(lm, H_new)
@@ -352,7 +453,11 @@ def make_laddie_step(C, md: MeshData):
                  - ph["gamma_T"] * (npx_ref.T - ph["T_base"])
                  + jnp.maximum(0.0, entr) * ph["T_amb"]
                  - jnp.maximum(0.0, detr) * npx_ref.T
-                 + entr_dmin * ph["T_amb"])
+                 + entr_dmin * ph["T_amb"]
+                 # SGD water enters at the local freezing point and with
+                 # zero salinity (laddie_tracers.f90:67,74)
+                 + sgd * (freezing_lambda_2
+                          + freezing_lambda_3 * forcing["Hib"]))
         dHSdt = (-dQS
                  + jnp.maximum(0.0, entr) * ph["S_amb"]
                  - jnp.maximum(0.0, detr) * npx_ref.S
@@ -454,6 +559,7 @@ def make_run_bmb_laddie(C, md: MeshData, region_name: str):
     """BMB coupling: run a LADDIE leg each call (BMB_main.f90 'laddie')."""
     from ..models.ocean import ocean_depth_axis
     step_fn = make_laddie_step(C, md)
+    calc_sgd = make_calc_SGD(C, md)
     laddie_state = {}
 
     def run(time, s, masks, fraction_gr, ocean=None):
@@ -469,6 +575,9 @@ def make_run_bmb_laddie(C, md: MeshData, region_name: str):
             "z_ocean": jnp.asarray(ocean_depth_axis(C), md.A.dtype),
             "T_ocean": ocean["T"], "S_ocean": ocean["S"],
         }
+        if calc_sgd is not None:
+            forcing["SGD"] = calc_sgd(masks["mask_floating_ice"],
+                                      masks["mask_gl_fl"], time)
         if "state" not in laddie_state:
             laddie_state["state"] = init_laddie_state(C, md, lm, forcing)
             duration = C.time_duration_laddie_init
