@@ -114,7 +114,9 @@ for t_spin in 14000 16000 18000 20000; do
   run_gate mismipplus_spinup "$t_spin"
 done
 run_gate mismipplus_ice1r
+run_gate mismipplus_iceocean1r
 run_gate ssa
+run_gate halfar_matrix
 run_gate berends2 H_dHdt_flowline
 run_gate berends2 H_dHdt_local
 run_gate berends2 H_u_flowline

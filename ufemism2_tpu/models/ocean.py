@@ -122,6 +122,7 @@ def make_run_ocean(C, md, region_name: str, mesh=None):
 
     if choice == "idealised":
         sub = C.choice_ocean_model_idealised
+        Tprof = Sprof = None
         if sub in ("MISMIPplus_WARM", "MISMIPplus_COLD"):
             # ISOMIP+ WARM/COLD profiles (Asay-Davis et al. 2016, Table 4)
             T_top, T_bot = (-1.9, 1.0) if sub.endswith("WARM") else (-1.9, -1.9)
@@ -130,8 +131,63 @@ def make_run_ocean(C, md, region_name: str, mesh=None):
             frac = jnp.clip(depths / zd, 0.0, 1.0)
             Tprof = T_top + (T_bot - T_top) * frac
             Sprof = S_top + (S_bot - S_top) * frac
-            Tf = jnp.broadcast_to(Tprof[None, :], (nV, nd))
-            Sf = jnp.broadcast_to(Sprof[None, :], (nV, nd))
+        elif sub == "ISOMIP":
+            # scenario-parameterised linear ramp over z1=720 m, NOT
+            # clipped below z1 (ocean_idealised.f90:114-148)
+            scen = C.choice_ocean_isomip_scenario
+            if scen == "WARM":
+                T1, S1 = 1.0, 34.7
+            elif scen == "COLD":
+                T1, S1 = -1.9, 34.55
+            else:
+                raise ValueError(
+                    f"unknown choice_ocean_isomip_scenario '{scen}'")
+            T0, S0, z1 = -1.9, 33.8, 720.0
+            Tprof = T0 + (T1 - T0) * depths / z1
+            Sprof = S0 + (S1 - S0) * depths / z1
+        elif sub == "TANH":
+            # two-layer forcing with tanh thermocline + quadratic-density
+            # salinity via the linear EOS (ocean_idealised.f90:150-188)
+            from ..utils.constants import (freezing_lambda_1,
+                                           freezing_lambda_2,
+                                           seawater_density)
+            S0 = 34.0
+            Tsurf = freezing_lambda_1 * S0 + freezing_lambda_2
+            drho0 = 0.01
+            Tprof = Tsurf + (C.ocean_tanh_deep_temperature - Tsurf) * (
+                1 + jnp.tanh((depths - C.ocean_tanh_thermocline_depth)
+                             / C.ocean_tanh_thermocline_scale_depth)) / 2
+            Sprof = (S0
+                     + C.uniform_laddie_eos_linear_alpha
+                     * (Tprof - Tsurf) / C.uniform_laddie_eos_linear_beta
+                     + drho0 * jnp.sqrt(depths)
+                     / (C.uniform_laddie_eos_linear_beta * seawater_density))
+        elif sub == "LINEAR":
+            # linear ramp from the surface freezing point
+            # (ocean_idealised.f90:190-227)
+            from ..utils.constants import (freezing_lambda_1,
+                                           freezing_lambda_2)
+            S0 = 34.5
+            Tsurf = freezing_lambda_1 * S0 + freezing_lambda_2
+            zr = C.ocean_linear_reference_depth
+            Tprof = Tsurf + (C.ocean_linear_deep_temperature - Tsurf) \
+                * depths / zr
+            Sprof = S0 + (C.ocean_linear_deep_salinity - S0) * depths / zr
+        elif sub == "LINEAR_THERMOCLINE":
+            # two layers joined by a linear thermocline (de Rydt 2014;
+            # ocean_idealised.f90:229-284)
+            zt = C.ocean_lin_therm_thermocline_top
+            zb = C.ocean_lin_therm_thermocline_bottom
+            T0, T1 = (C.ocean_lin_therm_surf_temperature,
+                      C.ocean_lin_therm_deep_temperature)
+            S0, S1 = (C.ocean_lin_therm_surf_salinity,
+                      C.ocean_lin_therm_deep_salinity)
+            w = jnp.clip((depths - zt) / (zb - zt), 0.0, 1.0)
+            Tprof = T0 + (T1 - T0) * w
+            Sprof = S0 + (S1 - S0) * w
+        if Tprof is not None:
+            Tf = jnp.broadcast_to(Tprof[None, :], (nV, nd)).astype(dtype)
+            Sf = jnp.broadcast_to(Sprof[None, :], (nV, nd)).astype(dtype)
             return lambda time, s: _draft_properties(Tf, Sf, s)
         raise ValueError(f"unknown choice_ocean_model_idealised '{sub}'")
 

@@ -168,6 +168,18 @@ class EllMatrix:
 def ell_spmv(inds, vals, x):
     """y[i] = sum_k vals[i,k] * x[inds[i,k]]; x may be [n] or [n, d]."""
     g = x[inds]                      # [n_rows, K] or [n_rows, K, d]
+    if isinstance(vals, tuple):
+        # split-bf16 (hi, lo) slab: same arithmetic as split-mode
+        # _contract with UF_X_SPLIT='none' (x rounded to bf16), so a
+        # distributed ELL apply matches the single-device tiled apply
+        # product-for-product (reduction order aside).
+        hi, lo = vals
+        gh = g.astype(jnp.bfloat16)
+        sub = "rkd->rd" if g.ndim == 3 else "rk->r"
+        sub = f"rk,{sub}"
+        f32 = jnp.float32
+        return (jnp.einsum(sub, hi, gh, preferred_element_type=f32)
+                + jnp.einsum(sub, lo, gh, preferred_element_type=f32))
     if g.ndim == 3:
         # elementwise multiply-reduce, not einsum: exact f32 on the VPU
         # (the K axis is small; TPU's default bf16 einsum would put ~2e-3

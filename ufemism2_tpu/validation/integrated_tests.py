@@ -45,10 +45,17 @@ def _stability(region):
 # ---------------------------------------------------------------------------
 
 def run_halfar(scoreboard_dir=None, resolution_km=40, quick=False,
-               output_dir=None):
+               output_dir=None, static=False):
+    """Halfar dome vs the analytical SIA solution. `static=True` runs the
+    reference's Halfar_static variant (config_Halfar_static_*.cfg): SMB
+    exactly cancels the t=0 thinning rate, so the dome must hold its
+    t=0 shape for 2500 yr and is scored against the analytic solution AT
+    t=0 (analyse_integrated_test_Halfar_static_5km.m:50-58; reference
+    anchors 28.45 m at 5 km)."""
     from ..core.analytical import halfar_H
+    stem = "Halfar_static" if static else "Halfar"
     cfg = REF_TESTS / "idealised/Halfar_dome" \
-        / f"config_Halfar_{resolution_km}km.cfg"
+        / f"config_{stem}_{resolution_km}km.cfg"
     over = {}
     if quick:
         over["end_time_of_run"] = 50.0
@@ -56,12 +63,13 @@ def run_halfar(scoreboard_dir=None, resolution_km=40, quick=False,
     r = _region(C, output_dir)
     r.run_to(C.end_time_of_run)
     Hi = np.asarray(r.state.Hi)
+    t_eval = 0.0 if static else C.end_time_of_run
     Hex = halfar_H(C.uniform_Glens_flow_factor, C.Glens_flow_law_exponent,
                    C.refgeo_idealised_Halfar_H0, C.refgeo_idealised_Halfar_R0,
-                   r.mesh.V[:, 0], r.mesh.V[:, 1], C.end_time_of_run)
+                   r.mesh.V[:, 0], r.mesh.V[:, 1], t_eval)
     rmse = float(np.sqrt(((Hi - Hex) ** 2).mean()))
 
-    run = ScoreboardRun(name=f"Halfar_{resolution_km}km",
+    run = ScoreboardRun(name=f"{stem}_{resolution_km}km",
                         category="integrated_tests/idealised/Halfar_dome")
     run.add_cost_function("rmse", "sqrt(mean((Hi - Hi_analytical).^2))",
                           rmse)
@@ -69,6 +77,28 @@ def run_halfar(scoreboard_dir=None, resolution_km=40, quick=False,
     if scoreboard_dir:
         run.write(scoreboard_dir)
     return run
+
+
+def run_halfar_matrix(scoreboard_dir=None,
+                      resolutions=(40, 20, 10, 5), output_dir=None):
+    """All 8 Halfar tiers of the reference's analyse_integrated_test.m
+    (dynamic + static x 40/20/10/5 km), resumable: tiers that already
+    have a scoreboard entry are skipped on driver retries."""
+    import glob as _glob
+    runs = []
+    for static in (False, True):
+        stem = "Hlf_dome_Halfar_static" if static else "Hlf_dome_Halfar"
+        for res in resolutions:
+            if scoreboard_dir and _glob.glob(str(
+                    Path(scoreboard_dir) / f"it_ideal_{stem}_{res}km_*.json")):
+                print(f"skip Halfar{'_static' if static else ''} {res}km "
+                      "(scored)", flush=True)
+                continue
+            run = run_halfar(scoreboard_dir, resolution_km=res,
+                             output_dir=output_dir, static=static)
+            runs.append(run)
+            print(run.summary(), flush=True)
+    return runs
 
 
 # ---------------------------------------------------------------------------
@@ -506,6 +536,97 @@ def run_mismipplus_ice1r(spinup_dir, output_dir, scoreboard_dir=None,
                           abs(max(0.0, x[-1] - 420e3)))
     run.add_cost_function("var_x_GL", "max( abs( x_GL_smooth - x_GL))",
                           float(np.abs(xs - x).max()))
+    run.add_stability_info(_stability(r))
+    if scoreboard_dir:
+        run.write(scoreboard_dir)
+    return run
+
+
+def run_mismipplus_iceocean1r(spinup_dir, output_dir, scoreboard_dir=None,
+                              end_time=None, **overrides):
+    """MISOMIP iceocean1r: the reference's LADDIE-coupled retreat leg
+    (config_06_5km_iceocean1r.cfg — choice_BMB_model='laddie' with the
+    ISOMIP WARM ocean). Resumes from the spinup restart, runs 60 yr with
+    the in-tree LADDIE supplying sub-shelf melt every dt_BMB, and scores
+    the reference's cost functions
+    (analyse_integrated_test_misomip.py:36-40): final mid-channel GL
+    inside the [430, 450] km band."""
+    import glob
+    import json
+    import shutil
+
+    cfg = REF_TESTS / "idealised/MISMIPplus/config_06_5km_iceocean1r.cfg"
+    over = {"choice_refgeo_init_ANT": "idealised",
+            "choice_refgeo_init_idealised": "MISMIPplus",
+            "refgeo_idealised_MISMIPplus_Hi_init": 100.0,
+            "filename_initial_mesh_ANT": "",
+            "choice_initial_velocity_ANT": "zero",
+            "pc_choice_initialise_ANT": "zero",
+            "refgeo_idealised_MISMIPplus_tune_A": True}
+    over.update(overrides)
+    if end_time is not None:
+        over["end_time_of_run"] = end_time
+    C = _load(cfg, **over)
+
+    Path(output_dir).mkdir(parents=True, exist_ok=True)
+    if not glob.glob(str(Path(output_dir) / "restart_ANT_*.nc")):
+        from ..io.ncio import NCFile
+        src = sorted(glob.glob(str(Path(spinup_dir) / "restart_ANT_*.nc")))
+
+        def _rt(p):
+            try:
+                with NCFile(p) as nc:
+                    return float(np.asarray(nc.read("time")).reshape(-1)[0])
+            except Exception:
+                return -np.inf
+        newest = max(src, key=_rt)
+        shutil.copy(newest, Path(output_dir) / "restart_ANT_00001.nc")
+        sfs = Path(spinup_dir) / "glen_A_scale.json"
+        if sfs.exists():
+            shutil.copy(sfs, Path(output_dir) / "glen_A_scale.json")
+
+    r, resumed = _mismip_resume_region(C, output_dir)
+    assert resumed, "iceocean1r must start from a spinup restart"
+    t0 = float(r.time)
+    x_series_file = Path(output_dir) / "x_GL_series.json"
+    if not x_series_file.exists():
+        import jax.numpy as jnp
+        s = r.state
+        r.state = s.replace(
+            Hi_prev=s.Hi, Hi_next=s.Hi,
+            t_Hi_prev=jnp.asarray(t0, s.t_Hi_prev.dtype),
+            t_Hi_next=jnp.asarray(t0, s.t_Hi_next.dtype),
+            n_visc_its=jnp.zeros_like(s.n_visc_its),
+            n_Axb_its=jnp.zeros_like(s.n_Axb_its))
+
+    duration = C.end_time_of_run - C.start_time_of_run
+    if x_series_file.exists():
+        rec = json.loads(x_series_file.read_text())
+        x_GL, t_end = rec["x_GL"], rec["t_end"]
+    else:
+        x_GL, t_end = [], t0 + duration
+    t = t0
+    if not x_GL:
+        x_GL.append(_x_GL_westeast(r))
+    while t < t_end - 1e-9:
+        t = min(t + 1.0, t_end)
+        r.run_to(t)
+        x_GL.append(_x_GL_westeast(r))
+        r.write_restart()
+        x_series_file.write_text(json.dumps({"x_GL": x_GL, "t": t,
+                                             "t_end": t_end}))
+        print(f"[gate] iceocean1r t={t:7.1f} x_GL={x_GL[-1]/1e3:7.1f} km",
+              flush=True)
+
+    x = np.asarray(x_GL, float)
+    run = ScoreboardRun(name="MISOMIP",
+                        category="integrated_tests/idealised/MISMIPplus")
+    run.add_cost_function("err_x_GL_final_lo",
+                          "abs( min( 0, x_GL[-1] - 430e3))",
+                          abs(min(0.0, x[-1] - 430e3)))
+    run.add_cost_function("err_x_GL_final_hi",
+                          "abs( max( 0, x_GL[-1] - 450e3))",
+                          abs(max(0.0, x[-1] - 450e3)))
     run.add_stability_info(_stability(r))
     if scoreboard_dir:
         run.write(scoreboard_dir)
