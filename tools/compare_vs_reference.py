@@ -232,13 +232,111 @@ def run_ssa(write_scoreboard=False):
     return results, report
 
 
+def _run_generic(test_name, tag, cfg_glob="config*.cfg", overrides=None):
+    """Generic parity runner for one integrated_test_* folder: run every
+    config through the model, reduce our outputs with the reference's
+    checksum statistics, compare against the committed
+    reference/*_checksum.nc. The GRID output is always compared; the
+    native-mesh output only when our run produced the same number of
+    output generations (adaptive remeshes at slightly different times
+    shift the file split otherwise)."""
+    import glob as _glob
+    from ufemism2_tpu.config import load_config
+    from ufemism2_tpu.main.region import ModelRegion
+
+    test_dir = REF / test_name
+    results = {}
+    report = []
+    for cfg in sorted(test_dir.glob(cfg_glob)):
+        out = Path(tempfile.mkdtemp(prefix=f"parity_{tag}_"))
+        C = load_config(str(cfg), **(overrides or {}))
+        r = ModelRegion(C, "ANT", output_dir=str(out))
+        r.run_to(C.end_time_of_run)
+
+        ref_dir = test_dir / "reference"
+        n_ref_gen = len(_glob.glob(str(
+            ref_dir / "main_output_ANT_0*_checksum.nc")))
+        n_our_gen = len(_glob.glob(str(out / "main_output_ANT_0*.nc")))
+        pairs = [("grid", out / "main_output_ANT_grid.nc",
+                  ref_dir / "main_output_ANT_grid_checksum.nc")]
+        if n_ref_gen == n_our_gen and n_ref_gen > 0:
+            last = f"main_output_ANT_{n_ref_gen:05d}"
+            pairs.append(("mesh", out / f"{last}.nc",
+                          ref_dir / f"{last}_checksum.nc"))
+        else:
+            report.append(f"{tag}: mesh generations differ "
+                          f"(ref={n_ref_gen} ours={n_our_gen}), "
+                          "grid-only comparison")
+        for kind, our_p, ref_p in pairs:
+            if not ref_p.exists() or not our_p.exists():
+                report.append(f"{tag}/{kind}: file missing "
+                              f"(ref={ref_p.exists()} ours={our_p.exists()})")
+                continue
+            report.append(f"== {tag} ({cfg.stem}) / {kind} ==")
+            res = compare(read_checksum_file(ref_p), reduce_our_file(our_p),
+                          kind, report)
+            results[f"{tag}_{kind}"] = res
+        shutil.rmtree(out, ignore_errors=True)
+    return results, report
+
+
+def run_mismipplus(write_scoreboard=False):
+    """integrated_test_MISMIPplus_small: 100 yr DIVA with flow-factor
+    tuning (the reference's CI-sized MISMIP+)."""
+    return _run_generic(
+        "integrated_test_MISMIPplus_small", "mismipplus",
+        overrides={"refgeo_idealised_MISMIPplus_Hi_init": 100.0})
+
+
+def run_mismip_mod(write_scoreboard=False):
+    """integrated_test_MISMIP_mod_small."""
+    return _run_generic("integrated_test_MISMIP_mod_small", "mismip_mod")
+
+
+def run_ismip_hom(write_scoreboard=False):
+    """integrated_test_ISMIP_HOM_small: per-config grid checksums
+    (results_ISMIP_HOM_<exp>_<L>_<approx>_grid_checksum.nc); only the
+    cells with committed references are compared."""
+    from ufemism2_tpu.config import load_config
+    from ufemism2_tpu.main.region import ModelRegion
+
+    test_dir = REF / "integrated_test_ISMIP_HOM_small"
+    results = {}
+    report = []
+    for cfg in sorted((test_dir / "all_ISMIP_HOM_config_files")
+                      .glob("config_ISMIP_HOM_*.cfg")):
+        stem = cfg.stem.replace("config_", "")
+        ref_p = test_dir / "reference" / f"results_{stem}_grid_checksum.nc"
+        if not ref_p.exists():
+            continue
+        out = Path(tempfile.mkdtemp(prefix=f"parity_{stem}_"))
+        C = load_config(str(cfg))
+        r = ModelRegion(C, "ANT", output_dir=str(out))
+        r.run_to(C.end_time_of_run)
+        our_p = out / "main_output_ANT_grid.nc"
+        if our_p.exists():
+            report.append(f"== {stem} / grid ==")
+            res = compare(read_checksum_file(ref_p), reduce_our_file(our_p),
+                          "grid", report)
+            results[f"{stem}_grid"] = res
+        else:
+            report.append(f"{stem}: our grid output missing")
+        shutil.rmtree(out, ignore_errors=True)
+    return results, report
+
+
+RUNNERS = {"halfar": run_halfar, "ssa": run_ssa,
+           "mismipplus": run_mismipplus, "mismip_mod": run_mismip_mod,
+           "ismip_hom": run_ismip_hom}
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     write = "--write" in sys.argv
     which = args or ["halfar", "ssa"]
     all_res = {}
     for w in which:
-        res, report = {"halfar": run_halfar, "ssa": run_ssa}[w](write)
+        res, report = RUNNERS[w](write)
         print("\n".join(report), flush=True)
         all_res.update(res)
     print(json.dumps(all_res, indent=1, default=float))

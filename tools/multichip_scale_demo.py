@@ -11,12 +11,12 @@ Two legs:
   f64 — the machine-parity gate. Single-device and sharded use the same
         gather-ELL arithmetic, so the trajectories must agree to
         accumulated-roundoff level (<1e-6 rel over 3 steps).
-  f32 — the performance mode. Single-device uses the split-bf16 MXU SpMV
-        (slab exact, x rounded to bf16: ~2e-3 matvec noise, PERF_NOTES),
-        the dist path exact-f32 ELL; the two arithmetics converge to the
-        same viscosity fixed point only to Krylov/viscosity tolerance, so
-        parity is recorded and bounded loosely (<0.15 rel on velocity),
-        not machine-gated. Solver-effort stats come from this leg.
+  f32 — the performance mode. Since round 4 the dist path stores the
+        SAME split-bf16 (hi, lo) slabs as the single-device tiled
+        operators and contracts with identical arithmetic (x rounded to
+        bf16), so the sharded trajectory matches single-device to f32
+        accumulation-order level and the gate is tight (<1e-3 rel,
+        VERDICT r3 item 8). Solver-effort stats come from this leg.
 
 Run with a scrubbed CPU environment:
   env -u PALLAS_AXON_POOL_IPS PYTHONPATH= JAX_PLATFORMS=cpu \
@@ -107,8 +107,8 @@ def main(n_devices=8, n_steps=3):
 
     ok64 = (leg64["parity"]["rel_dHi_vs_single_device"] < 1e-6
             and leg64["parity"]["rel_du_vav_vs_single_device"] < 1e-6)
-    ok32 = (leg32["parity"]["rel_dHi_vs_single_device"] < 0.15
-            and leg32["parity"]["rel_du_vav_vs_single_device"] < 0.15)
+    ok32 = (leg32["parity"]["rel_dHi_vs_single_device"] < 1e-3
+            and leg32["parity"]["rel_du_vav_vs_single_device"] < 1e-3)
     art = {
         "ok": bool(ok64 and ok32),
         "n_devices": n_devices,
@@ -118,11 +118,11 @@ def main(n_devices=8, n_steps=3):
         "f64_machine_parity_leg": leg64,
         "f32_perf_mode_leg": leg32,
         "f32_parity_note": (
-            "single-device f32 uses the split-bf16 MXU SpMV (x rounded to "
-            "bf16), the dist path exact-f32 ELL; both solve the same "
-            "systems to Krylov/viscosity tolerance with visc_it_nit "
-            "truncated to 2, so trajectories agree to solver tolerance, "
-            "not roundoff (see PERF_NOTES.md matvec-accuracy ladder)"),
+            "single-device and dist f32 both use split-bf16 (hi, lo) "
+            "slabs with x rounded to bf16 (identical products; only the "
+            "f32 accumulation order differs between the tiled and the "
+            "extended-local ELL layouts), so trajectories agree to "
+            "accumulated f32 roundoff rather than solver tolerance"),
         "spaces": stats,
     }
     out = os.path.join(os.path.dirname(__file__), "..",

@@ -24,58 +24,72 @@ SCOREBOARD = os.path.join(os.path.dirname(__file__), "..", "scoreboard")
 RUNS = os.path.join(os.path.dirname(__file__), "..", "validation_runs")
 
 
-def _persist_spinup_restart():
-    """Copy the newest spinup restart (+ tuned flow factor) into the
-    git-tracked persist/ folder: run artifacts are gitignored, so a VM
-    reset between rounds would otherwise throw away days of spinup
-    progress (round-4 lesson: the t=550 restart vanished with the VM)."""
-    import glob
-    import shutil
+def _restart_time(p):
     import numpy as np
     from ufemism2_tpu.io.ncio import NCFile
-
-    src_dir = os.path.join(RUNS, "mismipplus_5km_spinup")
-    dst_dir = os.path.join(RUNS, "persist")
-    restarts = glob.glob(os.path.join(src_dir, "restart_ANT_*.nc"))
-    if not restarts:
-        return
-
-    def _rt(p):
-        try:
-            with NCFile(p) as nc:
-                return float(np.asarray(nc.read("time")).reshape(-1)[0])
-        except Exception:
-            return -np.inf
-    newest = max(restarts, key=_rt)
-    t_new = _rt(newest)
-    os.makedirs(dst_dir, exist_ok=True)
-    dst = os.path.join(dst_dir, "restart_spinup_ANT.nc")
-    if not os.path.exists(dst) or _rt(dst) < t_new:
-        shutil.copy(newest, dst + ".tmp")
-        os.replace(dst + ".tmp", dst)
-        print(f"[gate] persisted spinup restart t={t_new:.1f}", flush=True)
-    sf = os.path.join(src_dir, "glen_A_scale.json")
-    if os.path.exists(sf):
-        shutil.copy(sf, os.path.join(dst_dir, "glen_A_scale.json"))
+    try:
+        with NCFile(p) as nc:
+            return float(np.asarray(nc.read("time")).reshape(-1)[0])
+    except Exception:
+        return -float("inf")
 
 
-def _seed_spinup_from_persist():
-    """Inverse of _persist_spinup_restart: on a fresh VM (no run
-    artifacts) restart the spinup from the committed checkpoint."""
+def _persist_restarts():
+    """Copy each run directory's newest restart (+ small json sidecars:
+    tuned flow factor, GL series, leg bookkeeping) into the git-tracked
+    persist/ tree: run artifacts are gitignored, so a VM reset between
+    rounds would otherwise throw away hours of gate progress (round-4
+    lesson: the spinup restart vanished with the VM)."""
     import glob
     import shutil
 
-    src_dir = os.path.join(RUNS, "mismipplus_5km_spinup")
-    per = os.path.join(RUNS, "persist", "restart_spinup_ANT.nc")
-    if glob.glob(os.path.join(src_dir, "restart_ANT_*.nc")) \
-            or not os.path.exists(per):
+    per_root = os.path.join(RUNS, "persist")
+    for src_dir, _dirs, files in os.walk(RUNS):
+        rel = os.path.relpath(src_dir, RUNS)
+        if rel.startswith("persist"):
+            continue
+        restarts = [f for f in files if f.startswith("restart_ANT_")
+                    and f.endswith(".nc")]
+        if not restarts:
+            continue
+        newest = max((os.path.join(src_dir, f) for f in restarts),
+                     key=_restart_time)
+        t_new = _restart_time(newest)
+        dst_dir = os.path.join(per_root, rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        dst = os.path.join(dst_dir, "restart_ANT_00001.nc")
+        if not os.path.exists(dst) or _restart_time(dst) < t_new:
+            shutil.copy(newest, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            print(f"[gate] persisted {rel} restart t={t_new:.1f}",
+                  flush=True)
+        for f in files:
+            if f.endswith(".json"):
+                shutil.copy(os.path.join(src_dir, f),
+                            os.path.join(dst_dir, f))
+
+
+def _seed_from_persist():
+    """Inverse of _persist_restarts: on a fresh VM (no run artifacts)
+    resume every persisted run directory from its committed
+    checkpoint."""
+    import glob
+    import shutil
+
+    per_root = os.path.join(RUNS, "persist")
+    if not os.path.isdir(per_root):
         return
-    os.makedirs(src_dir, exist_ok=True)
-    shutil.copy(per, os.path.join(src_dir, "restart_ANT_00001.nc"))
-    sf = os.path.join(RUNS, "persist", "glen_A_scale.json")
-    if os.path.exists(sf):
-        shutil.copy(sf, os.path.join(src_dir, "glen_A_scale.json"))
-    print("[gate] seeded spinup from persisted restart", flush=True)
+    for dst_dir, _dirs, files in os.walk(per_root):
+        if "restart_ANT_00001.nc" not in files:
+            continue
+        rel = os.path.relpath(dst_dir, per_root)
+        src_dir = os.path.join(RUNS, rel)
+        if glob.glob(os.path.join(src_dir, "restart_ANT_*.nc")):
+            continue
+        os.makedirs(src_dir, exist_ok=True)
+        for f in files:
+            shutil.copy(os.path.join(dst_dir, f), os.path.join(src_dir, f))
+        print(f"[gate] seeded {rel} from persisted restart", flush=True)
 
 
 def main():
@@ -83,13 +97,12 @@ def main():
     args = sys.argv[2:]
     from ufemism2_tpu.validation import integrated_tests as it
 
+    _seed_from_persist()
     if gate == "mismipplus_spinup":
         end = float(args[0]) if args else None
-        _seed_spinup_from_persist()
         run = it.run_mismipplus_spinup(
             os.path.join(RUNS, "mismipplus_5km_spinup"), SCOREBOARD,
             end_time=end)
-        _persist_spinup_restart()
     elif gate == "mismipplus_ice1r":
         run = it.run_mismipplus_ice1r(
             os.path.join(RUNS, "mismipplus_5km_spinup"),
@@ -131,10 +144,30 @@ def main():
         for r in runs:
             print(r.summary(), flush=True)
         return
+    elif gate == "parity":
+        # reference-output parity harness (tools/compare_vs_reference.py)
+        # driven per-suite so the chain can interleave it
+        import subprocess
+        which = args or ["mismipplus", "mismip_mod", "ismip_hom"]
+        rc = subprocess.call(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__),
+                          "compare_vs_reference.py")] + which + ["--write"])
+        if rc != 0:
+            raise SystemExit(rc)
+        return
     else:
         raise SystemExit(f"unknown gate '{gate}'")
     print(run.summary(), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        # persist newest restarts whether the attempt succeeded or the
+        # worker dropped mid-gate: crashed progress is still progress
+        try:
+            _persist_restarts()
+        except Exception as e:                        # pragma: no cover
+            print(f"[gate] persist failed: {e}", flush=True)

@@ -101,7 +101,13 @@ run_gate antarctica 500
 for t_spin in 2000 4000; do
   run_gate mismipplus_spinup "$t_spin"
 done
+# value-dense tail: fast scored matrices first, then the long legs.
+# Every gate is resumable and run_gate.py persists restarts into the
+# git-tracked persist/ tree, so wherever the round ends, the next round
+# continues from there.
+run_gate halfar_matrix
 run_gate ismip_hom_matrix
+run_gate parity ismip_hom
 run_gate mismip_mod
 for t_spin in 6000 8000 10000 12000; do
   run_gate mismipplus_spinup "$t_spin"
@@ -116,7 +122,8 @@ done
 run_gate mismipplus_ice1r
 run_gate mismipplus_iceocean1r
 run_gate ssa
-run_gate halfar_matrix
+run_gate parity mismipplus
+run_gate parity mismip_mod
 run_gate berends2 H_dHdt_flowline
 run_gate berends2 H_dHdt_local
 run_gate berends2 H_u_flowline

@@ -25,7 +25,8 @@ def build_uniform_mesh(xmin, xmax, ymin, ymax, res,
                     [UniformCriterion(res)],
                     alpha_min=alpha_min,
                     resolution_tolerance=resolution_tolerance)
-    V = lloyds_algorithm(V, xmin, xmax, ymin, ymax, nit=nit_lloyd)
+    V = lloyds_algorithm(V, xmin, xmax, ymin, ymax, nit=nit_lloyd,
+                         alpha_min=alpha_min)
     m = mesh_from_points(V, xmin, xmax, ymin, ymax, nz=nz,
                          choice_zeta_grid=choice_zeta_grid,
                          zeta_irregular_log_R=zeta_irregular_log_R)
@@ -131,7 +132,8 @@ def build_mesh_from_gridded_geometry(C, region: str, x, y, Hi, Hb,
                     alpha_min=C.alpha_min,
                     resolution_tolerance=C.mesh_resolution_tolerance)
     V = lloyds_algorithm(V, xmin, xmax, ymin, ymax,
-                         nit=C.nit_Lloyds_algorithm)
+                         nit=C.nit_Lloyds_algorithm,
+                         alpha_min=C.alpha_min)
     m = mesh_from_points(V, xmin, xmax, ymin, ymax, nz=C.nz,
                          choice_zeta_grid=C.choice_zeta_grid,
                          zeta_irregular_log_R=C.zeta_irregular_log_R)

@@ -269,34 +269,84 @@ def _dedupe(V: np.ndarray, tol: float) -> np.ndarray:
     return V[~dead]
 
 
-def lloyds_algorithm(V: np.ndarray, xmin, xmax, ymin, ymax,
-                     nit: int = 2) -> np.ndarray:
-    """Lloyd's relaxation: move vertices toward Voronoi-cell centroids.
+def split_encroaching_triangles(V: np.ndarray, xmin, xmax, ymin, ymax,
+                                alpha_min: float,
+                                max_rounds: int = 20) -> np.ndarray:
+    """Split triangles whose smallest internal angle is below alpha_min at
+    their circumcentre until none remain (the reference's
+    refine_mesh_split_encroaching_triangles_all, run after every Lloyd
+    iteration)."""
+    for _ in range(max_rounds):
+        Tri = delaunay_triangulate(V)
+        angs = smallest_angles(V, Tri)
+        bad = angs < alpha_min
+        if not bad.any():
+            break
+        cc = circumcenters(V, Tri)[bad]
+        local_res = longest_legs(V, Tri)[bad] / 2.0
+        new_pts = cc.copy()
+        for dim, lo, hi in ((0, xmin, xmax), (1, ymin, ymax)):
+            new_pts[:, dim] = np.clip(new_pts[:, dim], lo, hi)
+            near_lo = new_pts[:, dim] < lo + 0.45 * local_res
+            near_hi = new_pts[:, dim] > hi - 0.45 * local_res
+            new_pts[near_lo, dim] = lo
+            new_pts[near_hi, dim] = hi
+        keep = _min_spacing_filter(new_pts, 0.45 * local_res, V)
+        new_pts = new_pts[keep]
+        if len(new_pts) == 0:
+            break
+        V = np.concatenate([V, new_pts])
+    return V
 
-    Border vertices slide along their border; corners stay fixed
-    (reference mesh_Lloyds_algorithm.f90).
+
+def lloyds_algorithm(V: np.ndarray, xmin, xmax, ymin, ymax,
+                     nit: int = 2, alpha_min: float | None = None
+                     ) -> np.ndarray:
+    """Lloyd's relaxation matching the reference's semantics
+    (mesh_Lloyds_algorithm.f90:16-73):
+
+    - interior vertices move to the AREA-WEIGHTED CENTROID OF THEIR
+      ONE-RING STAR FAN (the fan of triangles (vi, C(ci), C(ci+1))
+      over the CCW neighbour ring) — not the true Voronoi-cell
+      centroid; the two have different fixed points and the star form
+      is what shapes the reference's margin-ring vertex distribution;
+    - border vertices stay exactly where they are (VBI > 0 cycle);
+    - after each sweep, triangles whose smallest angle dropped below
+      alpha_min are split at their circumcentre
+      (refine_mesh_split_encroaching_triangles_all), so smoothing can
+      ADD vertices.
+
+    The reference moves vertices one at a time (Gauss-Seidel, local
+    re-flips); this sweep is vectorised (Jacobi), which converges to the
+    same smoothing family for the small per-iteration displacements
+    Lloyd produces on a refined mesh.
     """
     from .triangulation import Connectivity
-    from .secondary import calc_voronoi_areas_centres_fast
 
-    tol = 1e-6 * max(xmax - xmin, ymax - ymin)
     for _ in range(nit):
         Tri = delaunay_triangulate(V)
         conn = Connectivity(V, Tri, xmin, xmax, ymin, ymax)
-        cc = np.clip(circumcenters(V, Tri), [xmin, ymin], [xmax, ymax])
-        _, GC = calc_voronoi_areas_centres_fast(conn, cc, xmin, xmax, ymin, ymax)
-        newV = GC.copy()
-        on_w = np.abs(V[:, 0] - xmin) < tol
-        on_e = np.abs(V[:, 0] - xmax) < tol
-        on_s = np.abs(V[:, 1] - ymin) < tol
-        on_n = np.abs(V[:, 1] - ymax) < tol
-        # border vertices: keep their border coordinate
-        newV[on_w, 0] = xmin
-        newV[on_e, 0] = xmax
-        newV[on_s, 1] = ymin
-        newV[on_n, 1] = ymax
-        # corners fixed
-        corner = (on_w | on_e) & (on_s | on_n)
-        newV[corner] = V[corner]
-        V = np.clip(newV, [xmin, ymin], [xmax, ymax])
+        C, nC = conn.C, conn.nC
+        K = C.shape[1]
+        interior = conn.VBI == 0
+        idx = np.arange(K)
+        Cp = np.where(C < 0, 0, C)
+        nxt = np.where(idx[None, :] + 1 >= nC[:, None], 0, idx[None, :] + 1)
+        Cn = np.take_along_axis(Cp, nxt, axis=1)
+        pa = V[:, None, :]                       # [nV,1,2]
+        pb, pc = V[Cp], V[Cn]                    # [nV,K,2]
+        cross = ((pb[..., 0] - pa[..., 0]) * (pc[..., 1] - pa[..., 1])
+                 - (pb[..., 1] - pa[..., 1]) * (pc[..., 0] - pa[..., 0]))
+        valid = idx[None, :] < nC[:, None]
+        cross = np.where(valid, cross, 0.0)
+        cent = (pa + pb + pc) / 3.0
+        wsum = cross.sum(axis=1)
+        safe = np.where(np.abs(wsum) > 0, wsum, 1.0)
+        gc = (cross[..., None] * cent).sum(axis=1) / safe[:, None]
+        move = interior & (np.abs(wsum) > 0)
+        V = np.where(move[:, None],
+                     np.clip(gc, [xmin, ymin], [xmax, ymax]), V)
+        if alpha_min is not None:
+            V = split_encroaching_triangles(V, xmin, xmax, ymin, ymax,
+                                            alpha_min)
     return V

@@ -45,13 +45,22 @@ def _stability(region):
 # ---------------------------------------------------------------------------
 
 def run_halfar(scoreboard_dir=None, resolution_km=40, quick=False,
-               output_dir=None, static=False):
+               output_dir=None, static=False, adaptive=False):
     """Halfar dome vs the analytical SIA solution. `static=True` runs the
     reference's Halfar_static variant (config_Halfar_static_*.cfg): SMB
     exactly cancels the t=0 thinning rate, so the dome must hold its
     t=0 shape for 2500 yr and is scored against the analytic solution AT
     t=0 (analyse_integrated_test_Halfar_static_5km.m:50-58; reference
-    anchors 28.45 m at 5 km)."""
+    anchors 28.45 m at 5 km).
+
+    `adaptive=True` is an EXTRA (non-reference) tier: the reference's CI
+    config pins allow_mesh_updates=.FALSE., so its 5 km ice-front band —
+    refined around the t=0 margin — is left behind as the dome spreads
+    ~28 km over the 500 yr run, and the margin error grows with the
+    local (coarsening) resolution. This variant turns the adaptive
+    remeshing ON (everything else identical) so the band follows the
+    front; scored under its own name so the faithful-config entry
+    remains the parity statement."""
     from ..core.analytical import halfar_H
     stem = "Halfar_static" if static else "Halfar"
     cfg = REF_TESTS / "idealised/Halfar_dome" \
@@ -59,6 +68,9 @@ def run_halfar(scoreboard_dir=None, resolution_km=40, quick=False,
     over = {}
     if quick:
         over["end_time_of_run"] = 50.0
+    if adaptive:
+        stem = stem + "_adaptive"
+        over["allow_mesh_updates"] = True
     C = _load(cfg, **over)
     r = _region(C, output_dir)
     r.run_to(C.end_time_of_run)
@@ -67,6 +79,9 @@ def run_halfar(scoreboard_dir=None, resolution_km=40, quick=False,
     Hex = halfar_H(C.uniform_Glens_flow_factor, C.Glens_flow_law_exponent,
                    C.refgeo_idealised_Halfar_H0, C.refgeo_idealised_Halfar_R0,
                    r.mesh.V[:, 0], r.mesh.V[:, 1], t_eval)
+    # adaptive runs end on a remeshed vertex set; the analytic field is
+    # evaluated on whatever mesh the run ended with, so the comparison
+    # stays vertex-for-vertex either way
     rmse = float(np.sqrt(((Hi - Hex) ** 2).mean()))
 
     run = ScoreboardRun(name=f"{stem}_{resolution_km}km",
@@ -86,18 +101,21 @@ def run_halfar_matrix(scoreboard_dir=None,
     have a scoreboard entry are skipped on driver retries."""
     import glob as _glob
     runs = []
-    for static in (False, True):
-        stem = "Hlf_dome_Halfar_static" if static else "Hlf_dome_Halfar"
-        for res in resolutions:
-            if scoreboard_dir and _glob.glob(str(
-                    Path(scoreboard_dir) / f"it_ideal_{stem}_{res}km_*.json")):
-                print(f"skip Halfar{'_static' if static else ''} {res}km "
-                      "(scored)", flush=True)
-                continue
-            run = run_halfar(scoreboard_dir, resolution_km=res,
-                             output_dir=output_dir, static=static)
-            runs.append(run)
-            print(run.summary(), flush=True)
+    tiers = [(res, False, False) for res in resolutions] \
+        + [(res, True, False) for res in resolutions] \
+        + [(10, False, True), (5, False, True)]   # adaptive extras
+    for res, static, adaptive in tiers:
+        stem = "Hlf_dome_Halfar" + ("_static" if static else "") \
+            + ("_adaptive" if adaptive else "")
+        if scoreboard_dir and _glob.glob(str(
+                Path(scoreboard_dir) / f"it_ideal_{stem}_{res}km_*.json")):
+            print(f"skip {stem} {res}km (scored)", flush=True)
+            continue
+        run = run_halfar(scoreboard_dir, resolution_km=res,
+                         output_dir=output_dir, static=static,
+                         adaptive=adaptive)
+        runs.append(run)
+        print(run.summary(), flush=True)
     return runs
 
 
