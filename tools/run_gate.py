@@ -162,6 +162,15 @@ def main():
 
 
 if __name__ == "__main__":
+    # the chain's stall watchdog SIGTERMs wedged attempts; convert that
+    # to SystemExit so the finally-persist below still runs (default
+    # SIGTERM handling skips finally, which is how round 4 lost 1100
+    # model-years of spinup progress)
+    import signal
+
+    def _term(_sig, _frm):                            # pragma: no cover
+        raise SystemExit(143)
+    signal.signal(signal.SIGTERM, _term)
     try:
         main()
     finally:

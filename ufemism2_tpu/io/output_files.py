@@ -235,7 +235,15 @@ def _dims_for(arr, mesh):
 def write_restart_file(path, mesh, state, time):
     """Full-state restart: every IceState field (incl. the pc controller
     state, so the adaptive dt resumes exactly -
-    predictor_corrector_scheme.f90:417-444) on the current mesh."""
+    predictor_corrector_scheme.f90:417-444) on the current mesh.
+
+    Written ATOMICALLY (tmp + rename): gate attempts are routinely
+    killed mid-run (worker stalls, bench preemption), and a torn restart
+    is unreadable, which silently restarts a multi-hour spinup from t=0
+    (round-4 incident)."""
+    import os
+    final_path = str(path)
+    path = final_path + ".tmp"
     leaves = _state_leaves(state)
     with NCFile(path, "w") as nc:
         setup_mesh_in_file(nc, mesh)
@@ -253,6 +261,7 @@ def write_restart_file(path, mesh, state, time):
             nc.put(key, arr)
         nc.set_global_attrs(restart_time=float(time), nV=mesh.nV,
                             nTri=mesh.nTri)
+    os.replace(path, final_path)
 
 
 def load_restart_file(path):
