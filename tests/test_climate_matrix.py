@@ -9,7 +9,15 @@ import pytest
 from ufemism2_tpu.io.ncio import NCFile
 
 
-def _write_snapshot(path, T_base, with_winds=True, Hs0=0.0):
+def _write_snapshot(path, T_base, with_winds=True, Hs0=0.0, ocean_r=None):
+    """`ocean_r`: grid points beyond this radius get Hs = 0 (open ocean).
+    The model marks ocean via the reference's exact `Hs == MINVAL(Hs)`
+    criterion (climate_matrix.f90:804), so the snapshot MUST contain a
+    region that is exactly the minimum after bilinear interpolation —
+    cells whose four corners are all 0 interpolate to exactly 0. A
+    spatially uniform Hs is degenerate for that criterion: roundoff
+    decides which vertices hit the min, and the absorbed-insolation
+    averages become mesh-dependent."""
     n = 17
     x = np.linspace(-60e3, 60e3, n)
     with NCFile(path, "w") as nc:
@@ -22,8 +30,12 @@ def _write_snapshot(path, T_base, with_winds=True, Hs0=0.0):
         nc.def_dim("month", 12)
         nc.def_var("month", ("month",))
         nc.put("month", np.arange(1.0, 13.0))
+        Hs = np.full((n, n), Hs0)
+        if ocean_r is not None:
+            xx, yy = np.meshgrid(x, x, indexing="ij")
+            Hs = np.where(np.hypot(xx, yy) > ocean_r, 0.0, Hs)
         nc.def_var("Hs", ("x", "y"))
-        nc.put("Hs", np.full((n, n), Hs0))
+        nc.put("Hs", Hs)
         nc.def_var("T2m", ("month", "x", "y"))
         nc.put("T2m", np.full((12, n, n), T_base))
         nc.def_var("Precip", ("month", "x", "y"))
@@ -85,12 +97,15 @@ def test_climate_matrix_interpolates_with_co2(tmp_path):
     pi = str(tmp_path / "pi.nc")
     warm = str(tmp_path / "warm.nc")
     cold = str(tmp_path / "cold.nc")
-    # consistent geometry: grounded ice everywhere (Hs > 100 m and
-    # mean T2m < 0 C marks 'grounded' in the snapshot albedo spin-up)
-    _write_snapshot(pd, 268.0, Hs0=200.0)
-    _write_snapshot(pi, 268.0, Hs0=200.0)   # PI == PD -> zero bias
-    _write_snapshot(warm, 268.0, Hs0=200.0)
-    _write_snapshot(cold, 248.0, Hs0=200.0)
+    # consistent geometry: a grounded-ice interior disc with an open
+    # ocean ring beyond 40 km — the snapshot albedo spin-up marks ocean
+    # via the exact-min criterion (see _write_snapshot), and the model
+    # state below puts ice-free ocean on the same vertices so the
+    # modelled absorbed insolation matches the warm snapshot's
+    _write_snapshot(pd, 268.0, Hs0=200.0, ocean_r=40e3)
+    _write_snapshot(pi, 268.0, Hs0=200.0, ocean_r=40e3)  # PI == PD
+    _write_snapshot(warm, 268.0, Hs0=200.0, ocean_r=40e3)
+    _write_snapshot(cold, 248.0, Hs0=200.0, ocean_r=40e3)
     ins = str(tmp_path / "ins.nc")
     _write_insolation(ins)
     co2 = str(tmp_path / "co2.nc")
@@ -112,11 +127,17 @@ def test_climate_matrix_interpolates_with_co2(tmp_path):
     )
     run = make_run_climate_matrix(C, md, "ANT", mesh)
 
+    # model geometry on the same ocean mask the snapshot spin-up saw
+    # (exact-min criterion on the interpolated snapshot Hs), so the
+    # modelled albedo matches the snapshot albedo vertex-for-vertex
+    Hs_snap = np.asarray(run.warm["Hs"])
+    ocean = Hs_snap == Hs_snap.min()
+
     class S:
-        Hi = jnp.full(md.nV, 200.0)
-        Hb = jnp.zeros(md.nV)
+        Hi = jnp.where(ocean, 0.0, 200.0)
+        Hb = jnp.where(ocean, -1000.0, 0.0)
         SL = jnp.full(md.nV, -100.0)
-        Hs = jnp.full(md.nV, 200.0)
+        Hs = jnp.where(ocean, 0.0, 200.0)
     s = S()
     out_pd = run(0.0, s)          # CO2 = 280 -> warm end
     out_lgm = run(-21000.0, s)    # CO2 = 190 -> cold end

@@ -131,21 +131,22 @@ def make_solve_bpa(C, md: MeshData, bedrock_cdfs=None):
             C, md, Hi, Hb, SL, masks["mask_floating_ice"],
             dHb=s.dHb, bedrock_cdfs=bedrock_cdfs)
         Hi_eff, _ = calc_effective_thickness(md, Hi, Hb, SL)
-        Hs_slope = jnp.sqrt((md.M_ddx_a_a @ Hs) ** 2
-                            + (md.M_ddy_a_a @ Hs) ** 2)
+        # geometry gradients at FULL accuracy (ops.sparse.exact_mv)
+        Hs_slope = jnp.sqrt(md.M_ddx_a_a.exact_matvec(Hs) ** 2
+                            + md.M_ddy_a_a.exact_matvec(Hs) ** 2)
         bed_roughness = _bed_roughness_fields(C, md, s.bed_roughness)
 
-        Hi_b = jnp.maximum(md.M_map_a_b @ Hi, 0.1)
-        dh_dx_b = md.M_ddx_a_b @ Hs
-        dh_dy_b = md.M_ddy_a_b @ Hs
-        db_dx_b = md.M_ddx_a_b @ (Hs - Hi)
-        db_dy_b = md.M_ddy_a_b @ (Hs - Hi)
+        Hi_b = jnp.maximum(md.M_map_a_b.exact_matvec(Hi), 0.1)
+        dh_dx_b = md.M_ddx_a_b.exact_matvec(Hs)
+        dh_dy_b = md.M_ddy_a_b.exact_matvec(Hs)
+        db_dx_b = md.M_ddx_a_b.exact_matvec(Hs - Hi)
+        db_dy_b = md.M_ddy_a_b.exact_matvec(Hs - Hi)
         tau_dx = -ice_density * grav * dh_dx_b
         tau_dy = -ice_density * grav * dh_dy_b
 
         # zeta coordinate gradients on the bk grid
-        dHi_dx_b = md.M_ddx_a_b @ Hi
-        dHi_dy_b = md.M_ddy_a_b @ Hi
+        dHi_dx_b = md.M_ddx_a_b.exact_matvec(Hi)
+        dHi_dy_b = md.M_ddy_a_b.exact_matvec(Hi)
         zz_b = -1.0 / Hi_b                                     # dzeta/dz
         zx_b = (dh_dx_b[:, None] - zeta[None, :]
                 * dHi_dx_b[:, None]) / Hi_b[:, None]           # dzeta/dx

@@ -203,24 +203,24 @@ def make_solve_hybrid(C, md: MeshData, mask_BPA_b: np.ndarray,
             C, md, Hi, Hb, SL, masks["mask_floating_ice"],
             dHb=s.dHb, bedrock_cdfs=bedrock_cdfs)
         Hi_eff, _ = calc_effective_thickness(md, Hi, Hb, SL)
-        Hs_slope = jnp.sqrt((md.M_ddx_a_a @ Hs) ** 2
-                            + (md.M_ddy_a_a @ Hs) ** 2)
+        Hs_slope = jnp.sqrt(md.M_ddx_a_a.exact_matvec(Hs) ** 2
+                            + md.M_ddy_a_a.exact_matvec(Hs) ** 2)
         bed_roughness = _bed_roughness_fields(C, md, s.bed_roughness)
         Hi_reg = jnp.maximum(0.1, Hi)
 
-        Hi_b = jnp.maximum(md.M_map_a_b @ Hi, 0.1)
-        dh_dx_b = md.M_ddx_a_b @ Hs
-        dh_dy_b = md.M_ddy_a_b @ Hs
-        db_dx_b = md.M_ddx_a_b @ (Hs - Hi)
-        db_dy_b = md.M_ddy_a_b @ (Hs - Hi)
+        Hi_b = jnp.maximum(md.M_map_a_b.exact_matvec(Hi), 0.1)
+        dh_dx_b = md.M_ddx_a_b.exact_matvec(Hs)
+        dh_dy_b = md.M_ddy_a_b.exact_matvec(Hs)
+        db_dx_b = md.M_ddx_a_b.exact_matvec(Hs - Hi)
+        db_dy_b = md.M_ddy_a_b.exact_matvec(Hs - Hi)
         tau_dx = -ice_density * grav * Hi_b * dh_dx_b    # DIVA rows
         tau_dy = -ice_density * grav * Hi_b * dh_dy_b
         tau_dx3 = -ice_density * grav * dh_dx_b          # BPA rows
         tau_dy3 = -ice_density * grav * dh_dy_b
 
         # zeta gradients (BPA)
-        dHi_dx_b = md.M_ddx_a_b @ Hi
-        dHi_dy_b = md.M_ddy_a_b @ Hi
+        dHi_dx_b = md.M_ddx_a_b.exact_matvec(Hi)
+        dHi_dy_b = md.M_ddy_a_b.exact_matvec(Hi)
         zz_b = -1.0 / Hi_b
         zx_b = (dh_dx_b[:, None] - zeta[None, :]
                 * dHi_dx_b[:, None]) / Hi_b[:, None]

@@ -137,9 +137,13 @@ def calc_critical_timestep_adv(C, md: MeshData, Hi, mask_floating,
     return jnp.minimum(C.dt_ice_max, comm.min_all(dt))
 
 
-def make_divQ_operator(md: MeshData, u_vav_b, v_vav_b, fraction_margin):
+def make_divQ_operator(md: MeshData, u_vav_b, v_vav_b, fraction_margin,
+                       dtype=None):
     """Per-connection upwind coefficients for div(Q) as a linear operator
-    in H (the reference's M_divQ matrix, assembly-free).
+    in H (the reference's M_divQ matrix, assembly-free). `dtype`
+    optionally promotes the coefficient arrays (the semi-implicit solve
+    runs in f64 even in f32 performance mode, see
+    calc_dHi_dt_semiimplicit).
 
     Returns (apply(H) -> divQ, u_perp [nV,K], diag [nV]).
     """
@@ -152,6 +156,9 @@ def make_divQ_operator(md: MeshData, u_vav_b, v_vav_b, fraction_margin):
     fm_i = fraction_margin[:, None]
     fm_j = jnp.where(md.mask_C, md.ext_V(fraction_margin)[md.C], 0.0)
     LcA = md.Cw / md.A[:, None]
+    if dtype is not None:
+        u_perp = u_perp.astype(dtype)
+        LcA = LcA.astype(dtype)
     out_coeff = jnp.where((fm_i >= 1.0) & md.mask_C,
                           LcA * jnp.maximum(0.0, u_perp), 0.0)
     in_coeff = jnp.where((fm_j >= 1.0) & md.mask_C,
@@ -176,31 +183,40 @@ def calc_dHi_dt_semiimplicit(C, md: MeshData, Hi, Hb, SL, u_vav_b, v_vav_b,
     from ...ops.krylov import bicgstab
 
     fs = C.dHi_semiimplicit_fs
+    # The thickness solve runs in f64 EVEN IN f32 PERFORMANCE MODE: an
+    # f32 solve can only reach ~1e-5 relative residual, i.e. ~0.03 m of
+    # solution noise on a 3000 m ice column, which the pc controller
+    # reads as truncation error tau ~ zeta*0.03/(6 dt) >= pc_epsilon and
+    # pins dt at its noise equilibrium (measured: Halfar 40 km ran 5000
+    # steps with eta flat at 4.75e-3 ~ eps vs the reference's 601 steps
+    # for the same 500 yr). The continuity stencil is [nV, K~6]
+    # elementwise work - negligible next to the b-grid momentum solve -
+    # so f64 here costs nothing and restores the reference's dt
+    # trajectory (conservation_of_mass_semiimplicit.f90 solves at
+    # dHi_PETSc_rtol=1e-8 in double).
+    dtype = jnp.float64 if Hi.dtype == jnp.float32 else Hi.dtype
     divQ_op, u_perp, diag = make_divQ_operator(md, u_vav_b, v_vav_b,
-                                               fraction_margin)
-    divQ = divQ_op(Hi)
+                                               fraction_margin, dtype=dtype)
+    Hi64 = Hi.astype(dtype)
+    divQ = divQ_op(Hi64)
 
-    m_dt = jnp.maximum(-Hi, dt * (fraction_margin
-                                  * (SMB + BMB - dHi_dt_target) + LMB))
-    b = Hi - dt * (1.0 - fs) * divQ + m_dt
+    m_dt = jnp.maximum(-Hi64, dt * (fraction_margin.astype(dtype)
+                                    * (SMB + BMB - dHi_dt_target) + LMB))
+    b = Hi64 - dt * (1.0 - fs) * divQ + m_dt
 
     def A(H):
         return H + dt * fs * divQ_op(H)
 
     M_pre = 1.0 / (1.0 + dt * fs * diag)
-    # f32 floor: relative residuals below ~100*eps_f32 are unreachable in
-    # single precision (tpu performance mode)
-    rtol = C.dHi_PETSc_rtol
-    if Hi.dtype == jnp.float32:
-        rtol = max(rtol, 1e-5)
-    res = bicgstab(A, b, x0=Hi, M=lambda r: M_pre * r,
-                   rtol=rtol, abstol=C.dHi_PETSc_abstol)
-    Hi_tplusdt = jnp.maximum(0.0, res.x)
+    res = bicgstab(A, b, x0=Hi64, M=lambda r: M_pre * r,
+                   rtol=C.dHi_PETSc_rtol, abstol=C.dHi_PETSc_abstol)
+    Hi_tplusdt = jnp.maximum(0.0, res.x).astype(Hi.dtype)
     Hi_tplusdt = apply_ice_thickness_BC_explicit(C, md, mask_noice, Hb, SL,
                                                  Hi_tplusdt, bc_masks)
     Hi_tplusdt = jnp.where(mask_noice, 0.0, Hi_tplusdt)
     dHi_dt = (Hi_tplusdt - Hi) / dt
-    return dHi_dt, Hi_tplusdt, divQ, res.n_iter
+    # divQ returns in the FIELD dtype: it feeds f32 state/carry pytrees
+    return dHi_dt, Hi_tplusdt, divQ.astype(Hi.dtype), res.n_iter
 
 
 def calc_dHi_dt(C, md: MeshData, Hi, Hb, SL, u_vav_b, v_vav_b,

@@ -26,13 +26,17 @@ def solve_SIA(C, md: MeshData, Hi, Hs, A_flow):
     n = C.Glens_flow_law_exponent
     Dmax = C.SIA_maximum_diffusivity
 
-    Hi_b = md.M_map_a_b @ Hi
-    Hs_b = md.M_map_a_b @ Hs
-    dHs_dx = md.M_ddx_a_a @ Hs
-    dHs_dy = md.M_ddy_a_a @ Hs
-    dHs_dx_b = md.M_ddx_a_b @ Hs
-    dHs_dy_b = md.M_ddy_a_b @ Hs
-    A_flow_b = md.M_map_a_b @ A_flow           # [nTri, nz]
+    # geometry applies at FULL accuracy: bf16-rounding Hs inside the
+    # split-mode operators puts ~1e-3 absolute noise on surface slopes,
+    # which dominates D ~ H^(n+2) |grad Hs|^(n-1) at low-slope interiors
+    # and pins the pc controller's dt at dt_ice_min (ops.sparse.exact_mv)
+    Hi_b = md.M_map_a_b.exact_matvec(Hi)
+    Hs_b = md.M_map_a_b.exact_matvec(Hs)
+    dHs_dx = md.M_ddx_a_a.exact_matvec(Hs)
+    dHs_dy = md.M_ddy_a_a.exact_matvec(Hs)
+    dHs_dx_b = md.M_ddx_a_b.exact_matvec(Hs)
+    dHs_dy_b = md.M_ddy_a_b.exact_matvec(Hs)
+    A_flow_b = md.M_map_a_b.exact_matvec(A_flow)   # [nTri, nz]
 
     zeta = md.zeta
     z_b = Hs_b[:, None] - zeta[None, :] * Hi_b[:, None]     # [nTri, nz]

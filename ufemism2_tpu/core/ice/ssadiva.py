@@ -659,13 +659,17 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
         fraction_gr, fraction_gr_b = calc_grounded_fractions(
             C, md, Hi, Hb, SL, masks["mask_floating_ice"], dHb=s.dHb)
         Hi_eff, _ = calc_effective_thickness(md, Hi, Hb, SL)
-        Hs_slope = jnp.sqrt((md.M_ddx_a_a @ Hs) ** 2
-                            + (md.M_ddy_a_a @ Hs) ** 2)
+        # geometry gradients at FULL accuracy (ops.sparse.exact_mv:
+        # bf16-rounded Hs is ~1e-3 absolute slope noise)
+        Hs_slope = jnp.sqrt(md.M_ddx_a_a.exact_matvec(Hs) ** 2
+                            + md.M_ddy_a_a.exact_matvec(Hs) ** 2)
 
         # driving stress (SSA_DIVA_utilities.f90:24)
-        Hi_b = md.M_map_a_b @ Hi
-        tau_dx_b = -ice_density * grav * Hi_b * (md.M_ddx_a_b @ Hs)
-        tau_dy_b = -ice_density * grav * Hi_b * (md.M_ddy_a_b @ Hs)
+        Hi_b = md.M_map_a_b.exact_matvec(Hi)
+        tau_dx_b = (-ice_density * grav * Hi_b
+                    * md.M_ddx_a_b.exact_matvec(Hs))
+        tau_dy_b = (-ice_density * grav * Hi_b
+                    * md.M_ddy_a_b.exact_matvec(Hs))
 
         # ocean-pressure variant (BC_ice_front='ocean_pressure',
         # DIVA_solver_ocean_pressure.f90): the reference solves on a

@@ -85,16 +85,25 @@ def _maybe_split(coef):
     return coef
 
 
-def _contract(coef, xg, sub):
+def _contract(coef, xg, sub, exact=False):
     """Contract the trailing tile axes of a coefficient slab with gathered
     x-tiles. `coef` is either one array (einsum/vpu modes) or a bf16
-    (hi, lo) pair (split mode); `sub` is the einsum subscript."""
+    (hi, lo) pair (split mode); `sub` is the einsum subscript.
+
+    `exact=True` forces the x-split (bits) path for THIS apply
+    regardless of UF_X_SPLIT: geometry-field applies (surface gradients
+    feeding SIA diffusivity / DIVA driving stress) cannot tolerate the
+    bf16 x-rounding — +-8 m on a 3000 m Hs column is ~1e-3 ABSOLUTE
+    surface-slope noise, which the pc controller reads as truncation
+    error and pins dt at dt_ice_min (round-4 diagnosis). They run once
+    per step, so the two extra einsums cost nothing; the Krylov matvecs
+    keep the measured-faster rounded-x path."""
     if isinstance(coef, tuple):
         # split mode: a ~ hi + lo (bf16 pair, exact to ~2^-17). Each
         # product below is EXACT on the MXU (bf16 x bf16 -> f32 acc).
         hi, lo = coef
         f32 = jnp.float32
-        if _X_SPLIT == "none":
+        if _X_SPLIT == "none" and not exact:
             # slab exact, x rounded to bf16 (~2e-3 on the x side): the
             # measured sweet spot (see PERF_NOTES noise-regularisation
             # anomaly) - two plain einsums, same slab bytes as one f32
@@ -136,6 +145,18 @@ def _slab_head(coef):
     return coef[0] if isinstance(coef, tuple) else coef
 
 
+def exact_mv(M, x):
+    """Apply a mesh operator to a GEOMETRY FIELD at full accuracy.
+
+    Krylov matvecs keep the bf16-rounded x-operand (measured sweet spot);
+    geometry fields (Hs, Hi, A_flow, ...) go through the split-x path:
+    bf16-rounding Hs (+-8 m at 3000 m) puts ~1e-3 ABSOLUTE noise on
+    surface slopes, which dominates SIA/DIVA velocities at low-slope
+    interiors and pins the pc controller's dt at dt_ice_min."""
+    em = getattr(M, "exact_matvec", None)
+    return em(x) if em is not None else M @ x
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class EllMatrix:
@@ -156,6 +177,10 @@ class EllMatrix:
     def __matmul__(self, x):
         return ell_spmv(self.inds, self.vals, x)
 
+    def exact_matvec(self, x):
+        """Full-accuracy apply for geometry fields (see _contract)."""
+        return ell_spmv(self.inds, self.vals, x, exact=True)
+
     def tree_flatten(self):
         return (self.inds, self.vals), (self.n_cols,)
 
@@ -164,22 +189,17 @@ class EllMatrix:
         return cls(children[0], children[1], aux[0])
 
 
-@partial(jax.jit, donate_argnums=())
-def ell_spmv(inds, vals, x):
+@partial(jax.jit, donate_argnums=(), static_argnames=("exact",))
+def ell_spmv(inds, vals, x, exact=False):
     """y[i] = sum_k vals[i,k] * x[inds[i,k]]; x may be [n] or [n, d]."""
     g = x[inds]                      # [n_rows, K] or [n_rows, K, d]
     if isinstance(vals, tuple):
         # split-bf16 (hi, lo) slab: same arithmetic as split-mode
-        # _contract with UF_X_SPLIT='none' (x rounded to bf16), so a
-        # distributed ELL apply matches the single-device tiled apply
-        # product-for-product (reduction order aside).
-        hi, lo = vals
-        gh = g.astype(jnp.bfloat16)
-        sub = "rkd->rd" if g.ndim == 3 else "rk->r"
-        sub = f"rk,{sub}"
-        f32 = jnp.float32
-        return (jnp.einsum(sub, hi, gh, preferred_element_type=f32)
-                + jnp.einsum(sub, lo, gh, preferred_element_type=f32))
+        # _contract (x rounded to bf16 by default, split-x when exact),
+        # so a distributed ELL apply matches the single-device tiled
+        # apply product-for-product (reduction order aside).
+        sub = "rk,rkd->rd" if g.ndim == 3 else "rk,rk->r"
+        return _contract(vals, g, sub, exact=exact)
     if g.ndim == 3:
         # elementwise multiply-reduce, not einsum: exact f32 on the VPU
         # (the K axis is small; TPU's default bf16 einsum would put ~2e-3
@@ -252,6 +272,10 @@ class TiledEllMatrix:
     def __matmul__(self, x):
         return tiled_spmv(self, x)
 
+    def exact_matvec(self, x):
+        """Full-accuracy apply for geometry fields (see _contract)."""
+        return tiled_spmv(self, x, exact=True)
+
     def tree_flatten(self):
         return (self.tile_ids, self.coef), (self.n_rows, self.n_cols)
 
@@ -271,13 +295,13 @@ def _gather_tiles(tile_ids, x, n_cols):
     return xp.reshape(-1, 128, d)[tile_ids]
 
 
-def tiled_spmv(M: TiledEllMatrix, x):
+def tiled_spmv(M: TiledEllMatrix, x, exact=False):
     """y = M @ x for x [n_cols] or [n_cols, d]."""
     xg = _gather_tiles(M.tile_ids, x, M.n_cols)
     if x.ndim == 1:
-        y = _contract(M.coef, xg, "brtw,btw->br")
+        y = _contract(M.coef, xg, "brtw,btw->br", exact=exact)
         return y.reshape(-1)[: M.n_rows]
-    y = _contract(M.coef, xg, "brtw,btwd->brd")
+    y = _contract(M.coef, xg, "brtw,btwd->brd", exact=exact)
     return y.reshape(-1, x.shape[1])[: M.n_rows]
 
 

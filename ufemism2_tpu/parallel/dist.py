@@ -59,6 +59,11 @@ class DistEllMatrix:
         x_ext = comm.halo_extend(x, self.halo)
         return ell_spmv(self.inds, self.vals, x_ext)
 
+    def exact_matvec(self, x):
+        """Full-accuracy apply for geometry fields (ops.sparse._contract)."""
+        x_ext = comm.halo_extend(x, self.halo)
+        return ell_spmv(self.inds, self.vals, x_ext, exact=True)
+
     def tree_flatten(self):
         return (self.inds, self.vals, self.halo), (self.n_cols,)
 
