@@ -81,6 +81,31 @@ def test_restart_resume_matches_uninterrupted(tmp_path):
     assert np.abs(Hi_full - Hi_resumed).max() < 1e-6 * scale
 
 
+def test_restart_persists_host_counters(tmp_path):
+    """n_dt_ice (host-side stability counter) survives write->resume, so
+    scoreboard stability metrics are cumulative across legs (the
+    reference persists pc state + counters,
+    predictor_corrector_scheme.f90:510-620)."""
+    from ufemism2_tpu.main.region import ModelRegion
+    from ufemism2_tpu.io.output_files import (write_restart_file,
+                                              load_restart_host_counters)
+
+    C = _halfar_config()
+    r1 = ModelRegion(C, "ANT")
+    r1.run_to(20.0)
+    assert r1.n_dt_ice > 0
+    path = str(tmp_path / "restart.nc")
+    write_restart_file(path, r1.mesh, r1.state, r1.time,
+                       host_counters={"n_dt_ice": int(r1.n_dt_ice)})
+    assert load_restart_host_counters(path)["n_dt_ice"] == r1.n_dt_ice
+
+    r2 = ModelRegion(C, "ANT", mesh=r1.mesh)
+    r2.resume_from_restart(path)
+    assert r2.n_dt_ice == r1.n_dt_ice
+    r2.run_to(40.0)
+    assert r2.n_dt_ice > r1.n_dt_ice
+
+
 def test_pc_initialise_from_file(tmp_path):
     """pc_choice_initialise='read_from_file' warm-starts the dt
     controller."""

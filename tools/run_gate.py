@@ -23,6 +23,75 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 SCOREBOARD = os.path.join(os.path.dirname(__file__), "..", "scoreboard")
 RUNS = os.path.join(os.path.dirname(__file__), "..", "validation_runs")
 
+# ---------------------------------------------------------------------------
+# Pass/fail bands (VERDICT r4 weak #1: a gate that can't FAIL is
+# observability, not validation). Upper bounds on the error cost
+# functions, set from the reference's scoreboard anchors (BASELINE.md)
+# with 2-4x slack for solver/mesh differences. A completed gate whose
+# entry violates a band prints FAIL and exits 3 (distinct from a crash,
+# so the retry chain does not re-run it).
+# ---------------------------------------------------------------------------
+BANDS = {
+    # ref: err_x_GL_init 716 m (analyse_integrated_test.m:51)
+    "mismipplus_spinup": {"err_x_GL_init": 3000.0},
+    # ref: 716 m / 0 / 0 / 927 m
+    "mismipplus_ice1r": {"err_x_GL_init": 3000.0,
+                         "err_x_GL_final_lo": 1.0,
+                         "err_x_GL_final_hi": 1.0,
+                         "var_x_GL": 2500.0},
+    # ref (analyse_integrated_test_misomip.py): final GL in [430,450] km
+    "mismipplus_iceocean1r": {"err_x_GL_final_lo": 1.0,
+                              "err_x_GL_final_hi": 1.0},
+    # ref: RMSE(Hi) 13.38 m at 5 km
+    "halfar5": {"rmse": 20.0},
+    # ref: 400.4 / 303.7 / 151.9 / 81.4 m/yr
+    "ssa": {"RMSE_32km": 500.0, "RMSE_16km": 400.0,
+            "RMSE_8km": 210.0, "RMSE_4km": 130.0},
+    # ref octant hysteresis: 451 m (S, best) - 13,543 m (W, worst)
+    "mismip_mod": {f"GL_hyst_{oc}": 20000.0 for oc in
+                   ("E", "NE", "N", "NW", "W", "SW", "S", "SE")},
+    # ref exp I H_dHdt_flowline: 0.040 / 7.96 m / 0.030
+    "berends": {"r95_till_friction_angle": 0.20,
+                "p95_ice_thickness": 30.0,
+                "r95_ice_velocity": 0.15},
+    "berends2": {"r95_till_friction_angle": 0.25,
+                 "p95_ice_thickness": 40.0},
+    # ref anchor: RMSE(Hi) 77.99 m after 20 kyr (real BedMachine; ours
+    # runs the synthetic realistic-format dataset, so 2x slack)
+    "antarctica": {"rmse_Hi_vs_init": 160.0},
+}
+
+# gates whose entries are only scoreable at their terminal model time;
+# partial legs skip band enforcement (the run is still in progress)
+_TERMINAL_T = {"mismipplus_spinup": 20000.0, "antarctica": 20000.0}
+
+
+def check_bands(gate, run, terminal=True):
+    """PASS/FAIL the gate's scoreboard entry against BANDS; returns 0
+    (pass / no bands / partial leg) or 3 (band violation)."""
+    bands = BANDS.get(gate)
+    if bands is None:
+        return 0
+    if not terminal:
+        print(f"=== GATE {gate} bands NOT ENFORCED (partial leg) ===",
+              flush=True)
+        return 0
+    vals = {cf["name"]: cf["value"] for cf in run.cost_functions}
+    fails = []
+    for name, hi in bands.items():
+        v = vals.get(name)
+        if v is None:
+            fails.append(f"{name} MISSING from entry")
+        elif not (v <= hi):
+            fails.append(f"{name} = {v:.6g} > band {hi:g}")
+    if fails:
+        print(f"=== GATE {gate} FAIL ===", flush=True)
+        for f in fails:
+            print(f"    {f}", flush=True)
+        return 3
+    print(f"=== GATE {gate} PASS ({len(bands)} bands) ===", flush=True)
+    return 0
+
 
 def _restart_time(p):
     import numpy as np
@@ -159,6 +228,13 @@ def main():
     else:
         raise SystemExit(f"unknown gate '{gate}'")
     print(run.summary(), flush=True)
+    terminal = True
+    if gate in _TERMINAL_T:
+        end = float(args[0]) if args else None
+        terminal = end is None or end >= _TERMINAL_T[gate]
+    rc = check_bands(gate, run, terminal=terminal)
+    if rc:
+        raise SystemExit(rc)
 
 
 if __name__ == "__main__":

@@ -232,10 +232,14 @@ def _dims_for(arr, mesh):
     raise ValueError(f"cannot map shape {arr.shape} to mesh dims")
 
 
-def write_restart_file(path, mesh, state, time):
+def write_restart_file(path, mesh, state, time, host_counters=None):
     """Full-state restart: every IceState field (incl. the pc controller
     state, so the adaptive dt resumes exactly -
     predictor_corrector_scheme.f90:417-444) on the current mesh.
+    `host_counters` (e.g. n_dt_ice) are host-side stability counters the
+    reference also persists (predictor_corrector_scheme.f90:510-620);
+    stored as `host_*` global attrs so resumed runs report cumulative
+    scoreboard stability metrics instead of restarting at 0.
 
     Written ATOMICALLY (tmp + rename): gate attempts are routinely
     killed mid-run (worker stalls, bench preemption), and a torn restart
@@ -261,7 +265,18 @@ def write_restart_file(path, mesh, state, time):
             nc.put(key, arr)
         nc.set_global_attrs(restart_time=float(time), nV=mesh.nV,
                             nTri=mesh.nTri)
+        if host_counters:
+            nc.set_global_attrs(**{f"host_{k}": v
+                                   for k, v in host_counters.items()})
     os.replace(path, final_path)
+
+
+def load_restart_host_counters(path):
+    """{name: value} of the host-side counters persisted by
+    write_restart_file (empty for restarts written before the scheme)."""
+    with NCFile(path) as nc:
+        return {k[len("host_"):]: v.item() if hasattr(v, "item") else v
+                for k, v in nc.h5.attrs.items() if k.startswith("host_")}
 
 
 def load_restart_file(path):

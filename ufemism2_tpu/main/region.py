@@ -462,16 +462,24 @@ class ModelRegion:
             from ..io.output_files import write_restart_file
             write_restart_file(
                 Path(self.output_dir) / f"restart_{self.name}_00001.nc",
-                self.mesh, self.state, self.time)
+                self.mesh, self.state, self.time,
+                host_counters={"n_dt_ice": int(self.n_dt_ice)})
 
     def resume_from_restart(self, path):
         """Restore the full model state (incl. pc controller) and model
         time from a restart file written by this run or an earlier one on
         the same mesh; component events re-fire at the resumed time."""
-        from ..io.output_files import restore_state_from_restart
+        from ..io.output_files import (restore_state_from_restart,
+                                       load_restart_host_counters)
         time, state = restore_state_from_restart(self.state, path)
         self.state = state
         self.time = time
+        # cumulative host-side stability counters survive the resume
+        # (the reference persists pc state + counters,
+        # predictor_corrector_scheme.f90:510-620); restarts written
+        # before the scheme carry none -> keep the fresh counter.
+        self.n_dt_ice = int(load_restart_host_counters(path).get(
+            "n_dt_ice", self.n_dt_ice))
         for k in self.t_next:
             # re-fire only the events active in this configuration
             # (inactive ones are parked at _BIG and must stay there)
@@ -922,7 +930,8 @@ class ModelRegion:
                 from ..io.output_files import write_restart_file
                 write_restart_file(
                     Path(self.output_dir) / f"restart_{self.name}_00001.nc",
-                    self.mesh, self.state, self.time)
+                    self.mesh, self.state, self.time,
+                    host_counters={"n_dt_ice": int(self.n_dt_ice)})
             bump("output_restart")
 
 
