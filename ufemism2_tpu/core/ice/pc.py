@@ -268,6 +268,18 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
             eta = jnp.maximum(eta_min,
                               comm.max_all(jnp.where(tau_mask, tau, 0.0)))
 
+            if os.environ.get("UF_PC_DEBUG") == "2":
+                tau_m = jnp.where(tau_mask, tau, 0.0)
+                vi = jnp.argmax(tau_m)
+                jax.debug.print(
+                    "    tau*: vi={vi} tau={tv:.3e} dt={dt:.3f} "
+                    "Hi={hi:.2f} dHs={dd:.3e} |dH*|={ds:.3e} "
+                    "gl_nbr={gn}",
+                    vi=vi, tv=tau_m[vi], dt=dt_i,
+                    hi=Hi_prev[vi],
+                    dd=(Hi_np1 - Hi_star)[vi],
+                    ds=(Hi_star - Hi_prev)[vi],
+                    gn=masks_prev["mask_gl_gr"][vi])
             ok = eta < eps
             at_min = dt_i <= dt_min
             done = ok | at_min
@@ -305,6 +317,14 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
             n_visc_its=jnp.int32(0), n_Axb_its=jnp.int32(0),
             done=jnp.asarray(False))
         out = jax.lax.while_loop(cond, body, init)
+        if os.environ.get("UF_PC_DEBUG"):
+            jax.debug.print(
+                "  pc: t={t:.2f} dt={dt:.3f} (ctrl={dc:.3f} crit={cr:.3f} "
+                "max={dm:.3f}) eta={eta:.2e}/eps={eps:.0e} retries={it} "
+                "visc={nv} axb={na}",
+                t=s.t_Hi_next, dt=out.dt, dc=dt, cr=dt_crit, dm=dt_max,
+                eta=out.eta, eps=eps, it=out.it - 1,
+                nv=out.n_visc_its, na=out.n_Axb_its)
 
         # -- finalise: new prediction window -------------------------------
         t_next = s.t_Hi_next + out.dt
@@ -374,9 +394,14 @@ def make_pc_multistep(C, pc_step, thermo_step=None):
 
             def body(c):
                 s, n = c
-                cap = jnp.minimum(dt_max,
-                                  jnp.maximum(t_stop - s.t_Hi_next, dt_min))
-                return (pc_step(md, s, cap, SMB=SMB, BMB=BMB, LMB=LMB),
+                # do NOT clamp dt to land on t_stop: the reference's ice
+                # window freely overshoots component/output events and the
+                # region interpolates Hi inside it (ice_dynamics_main.f90:
+                # 85-121 passes dt_max = C%dt_ice_max unconditionally).
+                # Clamping re-trapped the dt controller at every window
+                # boundary: the growth ladder (1.1x/step) restarted from
+                # the sliver step (~0.1 yr) left before each 5-yr event.
+                return (pc_step(md, s, dt_max, SMB=SMB, BMB=BMB, LMB=LMB),
                         n + 1)
 
             return jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
@@ -394,9 +419,8 @@ def make_pc_multistep(C, pc_step, thermo_step=None):
 
         def body(c):
             s, n, t_th = c
-            cap = jnp.minimum(dt_max,
-                              jnp.maximum(t_stop - s.t_Hi_next, dt_min))
-            s = pc_step(md, s, cap, SMB=SMB, BMB=BMB, LMB=LMB)
+            # overshoot semantics: see the non-thermo multi() body above
+            s = pc_step(md, s, dt_max, SMB=SMB, BMB=BMB, LMB=LMB)
 
             # catch thermo up to the new prediction time (possibly several
             # dt_th boundaries if the ice step out-paced them)

@@ -876,9 +876,10 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
             converged = L2 < C.visc_it_norm_dUV_tol
             if os.environ.get("UF_VISC_DEBUG"):
                 jax.debug.print(
-                    "    visc it {it}: L2={L2:.3e} axb={na} relax={rx:.3f} "
-                    "|u|max={um:.3e}",
-                    it=c.it, L2=L2, na=res.n_iter, rx=c.relax,
+                    "    visc it {it}: L2={L2:.3e} axb={na} conv={cv} "
+                    "rnorm={rn:.3e} relax={rx:.3f} |u|max={um:.3e}",
+                    it=c.it, L2=L2, na=res.n_iter, cv=res.converged,
+                    rn=res.res_norm, rx=c.relax,
                     um=jnp.abs(u_new).max())
             return _ViscCarry(
                 u=u_new, v=v_new, u_base=u_base, v_base=v_base,

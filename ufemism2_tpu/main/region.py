@@ -793,10 +793,11 @@ class ModelRegion:
                                 self._ff_target_s / max(rate, 1e-5),
                                 4 * self._ff_steps, 4000)))
                     else:
+                        # overshoot semantics: no window-end clamp (the
+                        # reference passes dt_max = C%dt_ice_max and
+                        # interpolates Hi inside the prediction window)
                         self.state = self.pc_step(
-                            self.md, self.state,
-                            jnp.asarray(min(dt_max,
-                                            max(t_end - t_hi, C.dt_ice_min))),
+                            self.md, self.state, jnp.asarray(dt_max),
                             SMB=self.SMB, BMB=self.BMB, LMB=self.LMB)
                         self.n_dt_ice += 1
 

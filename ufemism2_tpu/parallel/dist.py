@@ -564,10 +564,11 @@ class ShardedModel:
 
                 def body(c):
                     s_, n = c
-                    cap = jnp.minimum(
-                        dt_max, jnp.maximum(t_stop - s_.t_Hi_next, dt_min))
-                    return (pc_raw(md, s_, cap, SMB=SMB, BMB=BMB, LMB=LMB),
-                            n + 1)
+                    # overshoot semantics: the ice window extends past
+                    # t_stop and the region interpolates Hi inside it
+                    # (see core.ice.pc.make_pc_multistep)
+                    return (pc_raw(md, s_, dt_max,
+                                   SMB=SMB, BMB=BMB, LMB=LMB), n + 1)
                 return jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
 
         s_specs = state_specs(
