@@ -14,10 +14,58 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..mesh_data import MeshData, map_b_to_c
+from ..mesh_data import MeshData, EField, EIndex, map_b_to_c
 from ...utils.constants import (ice_density, seawater_density, grav, T0,
                                 Clausius_Clapeyron_gradient, sec_per_year, pi)
 from ...ops.tridiag import thomas_batched, zeta_tridiag_operators
+
+
+def register_thermo_static(md: MeshData):
+    """Static per-vertex upwind-sector tables (host build, numpy).
+
+    The upwind-triangle search of calc_upwind_heat_flux needs, per
+    (vertex, neighbour-sector c): the sector edge vectors vi->C[c] and
+    vi->C[c+1], whether the wrap sector exists, and the triangle spanned
+    by (vi, C[c], C[c+1]) (= the triangle left of the directed edge
+    vi->C[c], via VE/EV/ETri). All of that is mesh connectivity, so it
+    is precomputed here as extras - which also makes the runtime lookup
+    a single ext_Tri gather that works unchanged under shard_map (the
+    EV/ETri double-hop used before cannot be re-indexed across shards).
+    """
+    if md.extras is None or "th_ab_x" in md.extras:
+        return
+    import numpy as np
+    V = np.asarray(md.V)
+    C = np.asarray(md.C)
+    mask_C = np.asarray(md.mask_C)
+    VBI = np.asarray(md.VBI)
+    VE = np.asarray(md.VE)
+    EV = np.asarray(md.EV)
+    ETri = np.asarray(md.ETri)
+    nV, K = C.shape
+    Cp = np.where(mask_C, C, 0)
+    ab_x = np.where(mask_C, V[Cp, 0] - V[:, 0:1], 0.0)
+    ab_y = np.where(mask_C, V[Cp, 1] - V[:, 1:2], 0.0)
+    nC = mask_C.sum(axis=1)
+    ks = np.arange(K)[None, :]
+    nxt = np.where(ks + 1 < nC[:, None], ks + 1, 0)
+    ac_x = np.take_along_axis(ab_x, nxt, axis=1)
+    ac_y = np.take_along_axis(ab_y, nxt, axis=1)
+    interior = (VBI == 0)[:, None]
+    has_wrap = interior | (ks + 1 < nC[:, None])
+    e = VE
+    canon_first = EV[e, 0] == np.arange(nV)[:, None]
+    tri_left = np.where(canon_first, ETri[e, 0], ETri[e, 1])
+    tri_sector = np.maximum(tri_left, 0)
+    dt = np.asarray(md.A).dtype
+    md.extras.update({
+        "th_ab_x": EField(jnp.asarray(ab_x, dt), "V"),
+        "th_ab_y": EField(jnp.asarray(ab_y, dt), "V"),
+        "th_ac_x": EField(jnp.asarray(ac_x, dt), "V"),
+        "th_ac_y": EField(jnp.asarray(ac_y, dt), "V"),
+        "th_has_wrap": EField(jnp.asarray(has_wrap), "V"),
+        "th_tri_sector": EIndex(jnp.asarray(tri_sector), "V", "Tri"),
+    })
 
 
 # -- material properties (thermodynamics_utilities.f90) ----------------------
@@ -113,8 +161,8 @@ def calc_vertical_velocities(C, md: MeshData, masks, Hi, Hib, dHi_dt, dHb_dt,
     # u,v on edges, horizontal divergence via Voronoi boundary loop integral
     u_c = map_b_to_c(md, u_3D_b)       # [nE, nz]
     v_c = map_b_to_c(md, v_3D_b)
-    u_e = u_c[md.VE]                   # [nV, K, nz]
-    v_e = v_c[md.VE]
+    u_e = md.ext_E(u_c)[md.VE]         # [nV, K, nz]
+    v_e = md.ext_E(v_c)[md.VE]
     nhat_x = (md.D_x / md.D)[..., None]
     nhat_y = (md.D_y / md.D)[..., None]
     dS = md.Cw[..., None]
@@ -151,26 +199,19 @@ def calc_vertical_velocities(C, md: MeshData, masks, Hi, Hib, dHi_dt, dHb_dt,
 
 def calc_upwind_heat_flux(md: MeshData, Hi, Ti, u_3D_b, v_3D_b,
                           u_vav_a, v_vav_a):
-    """u*dT/dx, v*dT/dy taken from the upwind triangle."""
+    """u*dT/dx, v*dT/dy taken from the upwind triangle.
+
+    The upwind triangle is the surrounding triangle whose angular sector
+    contains the upwind vector -u_vav; the per-(vertex, sector) geometry
+    and triangle table are static mesh connectivity precomputed by
+    register_thermo_static (shard-compatible: the runtime is one
+    ext_Tri halo gather)."""
     dT_dx_b = md.M_ddx_a_b @ Ti         # [nTri, nz]
     dT_dy_b = md.M_ddy_a_b @ Ti
 
-    # upwind triangle: the surrounding triangle whose angular sector
-    # contains the upwind vector -u_vav
-    # iTri's c-th triangle is spanned by (vi, C[c], C[c+1])
-    V = md.V
-    ab_x = jnp.where(md.mask_C, V[md.C, 0] - V[:, 0:1], 0.0)  # [nV,K]
-    ab_y = jnp.where(md.mask_C, V[md.C, 1] - V[:, 1:2], 0.0)
-    K = md.C.shape[1]
-    # triangle c of vertex vi is spanned by (vi, C[c], C[(c+1) mod nC]);
-    # border vertices have nC-1 triangles (no wrap sector)
-    nC = md.mask_C.sum(axis=1)
-    ks = jnp.arange(K)[None, :]
-    nxt = jnp.where(ks + 1 < nC[:, None], ks + 1, 0)
-    ac_x = jnp.take_along_axis(ab_x, nxt, axis=1)
-    ac_y = jnp.take_along_axis(ab_y, nxt, axis=1)
-    interior = (md.VBI == 0)[:, None]
-    has_wrap = interior | (ks + 1 < nC[:, None])
+    ab_x, ab_y = md.x("th_ab_x"), md.x("th_ab_y")
+    ac_x, ac_y = md.x("th_ac_x"), md.x("th_ac_y")
+    has_wrap = md.x("th_has_wrap")
     ux = -u_vav_a[:, None]
     uy = -v_vav_a[:, None]
     cross_ab_u = ab_x * uy - ab_y * ux
@@ -178,23 +219,13 @@ def calc_upwind_heat_flux(md: MeshData, Hi, Ti, u_3D_b, v_3D_b,
     sector = (cross_ab_u >= 0) & (cross_u_ac >= 0) & md.mask_C & has_wrap
     # first matching sector (fall back to 0)
     idx = jnp.argmax(sector, axis=1)
-    # triangle table: iTri is CCW aligned with C; use gather
-    # we stored iTri on host only; use the c-th surrounding triangle via
-    # the left-of-edge convention: triangle left of edge (vi, C[c]) is
-    # ETri[VE[c], 0 or 1]. The triangle containing the sector (C[c],C[c+1])
-    # is the one left of directed edge vi->C[c]... ETri rows are
-    # left/right of the canonical edge direction; disambiguate by testing
-    # whether vi is the canonical first vertex.
-    e = md.VE
-    canon_first = md.EV[e, 0] == jnp.arange(md.nV)[:, None]
-    tri_left = jnp.where(canon_first, md.ETri[e, 0], md.ETri[e, 1])
-    ti_upwind = jnp.take_along_axis(tri_left, idx[:, None], axis=1)[:, 0]
-    ti_upwind = jnp.maximum(ti_upwind, 0)
+    ti_upwind = jnp.take_along_axis(md.x("th_tri_sector"),
+                                    idx[:, None], axis=1)[:, 0]
 
-    u_up = u_3D_b[ti_upwind]           # [nV, nz]
-    v_up = v_3D_b[ti_upwind]
-    ud = u_up * dT_dx_b[ti_upwind]
-    vd = v_up * dT_dy_b[ti_upwind]
+    u_up = md.ext_Tri(u_3D_b)[ti_upwind]           # [nV, nz]
+    v_up = md.ext_Tri(v_3D_b)[ti_upwind]
+    ud = u_up * md.ext_Tri(dT_dx_b)[ti_upwind]
+    vd = v_up * md.ext_Tri(dT_dy_b)[ti_upwind]
     thin = Hi < 1.0
     return (jnp.where(thin[:, None], 0.0, ud),
             jnp.where(thin[:, None], 0.0, vd))
@@ -346,23 +377,34 @@ def make_geothermal_flux(C, md: MeshData):
     # (geothermal_heat_flux.f90:50-61: read 'hflux' [W m^-2], remap to
     # the mesh, multiply by sec_per_year)
     if C.choice_geothermal_heat_flux == "uniform":
-        return jnp.full(md.nV, C.uniform_geothermal_heat_flux)
-    if C.choice_geothermal_heat_flux == "read_from_file":
+        ghf = jnp.full(md.nV, C.uniform_geothermal_heat_flux)
+    elif C.choice_geothermal_heat_flux == "read_from_file":
         from ...io.input_files import read_field_from_file_2D
         from ...utils.constants import sec_per_year as _spy
         mesh = md._host_mesh
-        ghf = read_field_from_file_2D(
-            C.filename_geothermal_heat_flux, "hflux", mesh)
-        return jnp.asarray(ghf, md.A.dtype) * _spy
-    raise ValueError("unknown choice_geothermal_heat_flux "
-                     f"'{C.choice_geothermal_heat_flux}'")
+        ghf = jnp.asarray(read_field_from_file_2D(
+            C.filename_geothermal_heat_flux, "hflux", mesh),
+            md.A.dtype) * _spy
+    else:
+        raise ValueError("unknown choice_geothermal_heat_flux "
+                         f"'{C.choice_geothermal_heat_flux}'")
+    # registered as an extra so the sharded thermodynamics step finds
+    # its per-device slice through the generic extras distribution
+    if md.extras is not None:
+        md.extras["geothermal"] = EField(ghf, "V")
+    return ghf
 
 
 def run_thermodynamics(C, md: MeshData, s, dt, T_surf_annual, SMB, BMB,
-                       heat_solver, geothermal):
-    """One thermodynamics step: returns updated Ti (thermodynamics_main)."""
+                       heat_solver, geothermal=None):
+    """One thermodynamics step: returns updated Ti (thermodynamics_main).
+    `geothermal` defaults to the md-registered field (required under
+    shard_map, where the closure constant would be the full-mesh array)."""
     from .masks import determine_masks
     from .subgrid import calc_grounded_fractions_bilin_TAF
+
+    if geothermal is None or md.extras and "geothermal" in md.extras:
+        geothermal = md.x("geothermal")
 
     masks = determine_masks(md, s.Hi, s.Hb, s.SL)
     fraction_gr = calc_grounded_fractions_bilin_TAF(

@@ -121,14 +121,19 @@ class ModelRegion:
             if self.do_thermo:
                 from ..core.ice.thermodynamics import (make_heat_solver,
                                                        make_geothermal_flux,
+                                                       register_thermo_static,
                                                        run_thermodynamics)
+                register_thermo_static(self.md)
                 self._heat_solver = make_heat_solver(C, self.md)
                 self._geothermal = make_geothermal_flux(C, self.md)
-                heat, geo = self._heat_solver, self._geothermal
+                heat = self._heat_solver
                 dt_th = C.dt_thermodynamics
                 self._thermo_step = jax.jit(
                     lambda md_, s, T_surf, SMB, BMB: run_thermodynamics(
-                        C, md_, s, dt_th, T_surf, SMB, BMB, heat, geo))
+                        C, md_, s, dt_th, T_surf, SMB, BMB, heat))
+                self._thermo_step_raw = \
+                    lambda md_, s, T_surf, SMB, BMB: run_thermodynamics(
+                        C, md_, s, dt_th, T_surf, SMB, BMB, heat)
 
             # present-day reference geometry (for alter_ice_thickness
             # fixiness/limitness and nudging targets)
@@ -168,16 +173,15 @@ class ModelRegion:
             self._thermo_fused = self.do_thermo
             # distributed mode (tpu_n_devices > 1): the ice-dynamics
             # fast-forward runs sharded over the device mesh
-            # (parallel/dist.py ShardedModel); thermodynamics then runs
-            # as an event at dt_thermodynamics cadence instead of fused
-            # into the stepping loop (mpi_basic.f90's distributed main
-            # loop is the reference pattern)
+            # (parallel/dist.py ShardedModel); the thermodynamics event
+            # is fused into the sharded stepping loop too (its static
+            # sector tables distribute through the generic extras path)
             self._dist = None
             n_dev = int(getattr(C, "tpu_n_devices", 1))
             if n_dev > 1:
                 import jax as _jax
                 if len(_jax.devices()) >= n_dev:
-                    self._thermo_fused = False
+                    pass          # thermo stays fused, now sharded
                 else:
                     warning("tpu_n_devices={} but only {} devices visible;"
                             " running single-device", n_dev,
@@ -756,15 +760,21 @@ class ModelRegion:
                         if self._dist is not None:
                             # sharded fast-forward over the device mesh;
                             # state converts at the window boundaries
-                            # (component events run full-mesh)
+                            # (component events run full-mesh); the
+                            # thermo event advances fused + sharded
                             sd = self._dist.to_dist(self.state)
-                            sd, n = self._dist.multistep(
+                            sd, n, t_th = self._dist.multistep(
                                 sd, t_stop, dt_max,
                                 SMB=self._dist.pad_field_V(self.SMB),
                                 BMB=self._dist.pad_field_V(self.BMB),
                                 LMB=self._dist.pad_field_V(self.LMB),
+                                T_surf=self._dist.pad_field_V(self._T_surf)
+                                if self._thermo_fused else None,
+                                t_th=self.t_thermo_next,
                                 n_max=n_chunk)
                             self.state = self._dist.from_dist(sd)
+                            if self._thermo_fused:
+                                self.t_thermo_next = float(t_th)
                         elif self._thermo_fused:
                             self.state, n, t_th = self.pc_multistep(
                                 self.md, self.state, jnp.asarray(t_stop),
@@ -1126,14 +1136,19 @@ def _region_update_mesh(region):
     if region.do_thermo:
         from ..core.ice.thermodynamics import (make_heat_solver,
                                                make_geothermal_flux,
+                                               register_thermo_static,
                                                run_thermodynamics)
+        register_thermo_static(region.md)
         region._heat_solver = make_heat_solver(C, region.md)
         region._geothermal = make_geothermal_flux(C, region.md)
-        heat, geo = region._heat_solver, region._geothermal
+        heat = region._heat_solver
         dt_th = C.dt_thermodynamics
         region._thermo_step = jax.jit(
             lambda md_, st, T_surf, SMB, BMB: run_thermodynamics(
-                C, md_, st, dt_th, T_surf, SMB, BMB, heat, geo))
+                C, md_, st, dt_th, T_surf, SMB, BMB, heat))
+        region._thermo_step_raw = \
+            lambda md_, st, T_surf, SMB, BMB: run_thermodynamics(
+                C, md_, st, dt_th, T_surf, SMB, BMB, heat)
     region.pc_multistep = _mkms(
         C, region.pc_step,
         thermo_step=region._thermo_step if region._thermo_fused else None)

@@ -546,30 +546,51 @@ class ShardedModel:
     def _build_multistep(self, C):
         """Sharded fast-forward: advance PC steps on the device mesh until
         the prediction window covers t_stop, in ONE dispatch (the sharded
-        twin of core.ice.pc.make_pc_multistep). The while_loop condition
-        reads the (replicated) scalar t_Hi_next, so all devices agree on
-        the step count without extra collectives."""
+        twin of core.ice.pc.make_pc_multistep, incl. the fused
+        thermodynamics catch-up when the region runs the 3-D heat
+        equation - its static tables distribute through the extras path).
+        The while_loop condition reads the (replicated) scalar t_Hi_next,
+        so all devices agree on the step count without extra
+        collectives."""
         from jax import shard_map
         from ..core.ice.pc import make_pc_step
+        from ..core.ice.pc import interpolate_ice_to_time
         pc_raw = make_pc_step(C, self.md, jit=False)
-        dt_min = C.dt_ice_min
+        thermo_raw = getattr(self.region, "_thermo_step_raw", None) \
+            if getattr(self.region, "_thermo_fused", False) else None
+        dt_th = C.dt_thermodynamics
 
-        def local_multi(md, s, t_stop, dt_max, SMB, BMB, LMB, n_max):
+        def local_multi(md, s, t_stop, dt_max, SMB, BMB, LMB,
+                        T_surf, t_th0, n_max):
             with comm.axis_ctx(MESH_AXIS):
                 def cond(c):
-                    s_, n = c
+                    s_, n, _t = c
                     # n_max hard-bounds the dispatch (tunnel liveness
                     # watchdog; see core.ice.pc.make_pc_multistep)
                     return (s_.t_Hi_next < t_stop - 1e-9) & (n < n_max)
 
                 def body(c):
-                    s_, n = c
+                    s_, n, t_th = c
                     # overshoot semantics: the ice window extends past
                     # t_stop and the region interpolates Hi inside it
                     # (see core.ice.pc.make_pc_multistep)
-                    return (pc_raw(md, s_, dt_max,
-                                   SMB=SMB, BMB=BMB, LMB=LMB), n + 1)
-                return jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+                    s_ = pc_raw(md, s_, dt_max, SMB=SMB, BMB=BMB, LMB=LMB)
+                    if thermo_raw is not None:
+                        def th_cond(c2):
+                            _s2, t2 = c2
+                            return t2 <= s_.t_Hi_next + 1e-9
+
+                        def th_body(c2):
+                            s2, t2 = c2
+                            si = interpolate_ice_to_time(s2, t2)
+                            Ti_new, _ = thermo_raw(md, si, T_surf, SMB, BMB)
+                            return s2.replace(Ti=Ti_new), t2 + dt_th
+
+                        s_, t_th = jax.lax.while_loop(
+                            th_cond, th_body, (s_, t_th))
+                    return (s_, n + 1, t_th)
+                return jax.lax.while_loop(cond, body,
+                                          (s, jnp.int32(0), t_th0))
 
         s_specs = state_specs(
             state_pad(self.region.state, self.nV, self.nTri,
@@ -579,20 +600,22 @@ class ShardedModel:
         return jax.jit(shard_map(
             local_multi, mesh=self.jmesh,
             in_specs=(self._md_specs, s_specs, P(), P(),
-                      v_spec, v_spec, v_spec, P()),
-            out_specs=(s_specs, P()), check_vma=False))
+                      v_spec, v_spec, v_spec, v_spec, P(), P()),
+            out_specs=(s_specs, P(), P()), check_vma=False))
 
     def multistep(self, state_d, t_stop, dt_max, SMB=None, BMB=None,
-                  LMB=None, n_max=2 ** 30):
+                  LMB=None, T_surf=None, t_th=0.0, n_max=2 ** 30):
+        """Returns (state_d, n_steps, t_thermo_next)."""
         if not hasattr(self, "_multi"):
             self._multi = self._build_multistep(self.region.C)
         z = self._zeros_V
         SMB = z if SMB is None else SMB
         BMB = z if BMB is None else BMB
         LMB = z if LMB is None else LMB
+        T_surf = z if T_surf is None else T_surf
         return self._multi(self.md, state_d, jnp.asarray(t_stop),
-                           jnp.asarray(dt_max), SMB, BMB, LMB,
-                           jnp.int32(n_max))
+                           jnp.asarray(dt_max), SMB, BMB, LMB, T_surf,
+                           jnp.asarray(float(t_th)), jnp.int32(n_max))
 
     def halo_stats(self):
         """Per-space halo/occupancy diagnostics for the multichip
