@@ -56,8 +56,17 @@ SKIP = {"checksum", "checksum_count", "vi", "ti", "ci", "ei", "vori",
         "two", "three", "four", "zeta", "month", "depth", "x", "y",
         "lon", "lat", "xmin", "xmax", "ymin", "ymax", "time",
         # mesh bookkeeping: both codes build their OWN adaptive mesh, so
-        # V/Tri/A/R compare mesh-generator choices, not model physics
-        "V", "Tri", "TriGC", "A", "R", "Hib"}
+        # the geometry/topology description compares mesh-generator
+        # choices (vertex counts, connectivity fan sizes, Voronoi
+        # tessellation layout), not model physics. Writing them IS the
+        # compatibility statement (read_mesh_from_file works on our
+        # files); comparing their statistics across two different
+        # meshes is meaningless.
+        "V", "Tri", "TriGC", "A", "R", "Hib",
+        "C", "E", "EA", "EBI", "ETri", "EV", "TriA", "TriBI", "TriC",
+        "TriE", "Tricc", "VBI", "VE", "VVor", "Vor", "VorC", "VornC",
+        "nC", "nVVor", "niTri", "iTri", "ei2vori", "ti2vori", "vi2vori",
+        "vori2ei", "vori2ti", "vori2vi", "tol_dist"}
 
 
 def _stats(a):

@@ -19,7 +19,12 @@ from .ncio import NCFile
 # reference-named fields that live on the triangle (b) grid without the
 # _b suffix (the reference stores all velocities on triangles)
 B_GRID_FIELDS = {"u_surf", "v_surf", "uabs_surf",
-                 "u_base", "v_base", "uabs_base"}
+                 "u_base", "v_base", "uabs_base",
+                 "u_vav", "v_vav", "uabs_vav",
+                 "u_3D", "v_3D", "Hs_b"}
+
+# 3-D (x zeta) output fields (netcdf_write_field_mesh.f90 *_3D writers)
+FIELDS_3D = {"u_3D", "v_3D", "w_3D"}
 
 
 def _is_b_grid(name):
@@ -150,7 +155,9 @@ class MeshOutputFile:
         self.nc.def_var("time", ("time",), units="years")
         for f in fields:
             grid = "ti" if _is_b_grid(f) else "vi"
-            self.nc.def_var(f, ("time", grid))
+            dims = ("time", grid, "zeta") if f in FIELDS_3D \
+                else ("time", grid)
+            self.nc.def_var(f, dims)
 
     def write(self, time, state_fields: dict):
         first = True
@@ -349,10 +356,16 @@ class GridOutputFile:
         self.nc.def_dim("y", grid.ny)
         self.nc.def_var("y", ("y",), units="m")
         self.nc.put("y", grid.y)
+        if any(f in FIELDS_3D for f in self.fields):
+            self.nc.def_dim("zeta", mesh.nz)
+            self.nc.def_var("zeta", ("zeta",))
+            self.nc.put("zeta", np.asarray(mesh.zeta))
         self.nc.def_dim("time", None)
         self.nc.def_var("time", ("time",), units="years")
         for f in self.fields:
-            self.nc.def_var(f, ("time", "y", "x"))
+            dims = ("time", "zeta", "y", "x") if f in FIELDS_3D \
+                else ("time", "y", "x")
+            self.nc.def_var(f, dims)
 
     def update_mesh(self, mesh):
         """Rebuild the mesh->grid maps after a mesh update; the file
@@ -370,7 +383,11 @@ class GridOutputFile:
                 continue
             v = np.asarray(state_fields[f])
             M = self.M_b if _is_b_grid(f) else self.M_a
-            g = (M @ v).reshape(self.grid.nx, self.grid.ny).T   # [ny, nx]
+            if v.ndim == 2:                     # [n, nz] 3-D field
+                g = (M @ v).reshape(self.grid.nx, self.grid.ny, -1)
+                g = g.transpose(2, 1, 0)        # [nz, ny, nx]
+            else:
+                g = (M @ v).reshape(self.grid.nx, self.grid.ny).T
             # bound-preserving limiter: the 2nd-order conservative map
             # has no monotonicity constraint, so clamp to the source
             # field's range (the parity harness caught gridded Hi

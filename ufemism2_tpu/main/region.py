@@ -505,6 +505,38 @@ class ModelRegion:
 
     # -- output -------------------------------------------------------------
 
+    # choice_output_field_* names the writers can currently resolve from
+    # the model state (main_regional_output.f90's menu; the rest warn)
+    _EXTRA_OUTPUT_SUPPORTED = {
+        "u_3D", "v_3D", "w_3D", "u_vav", "v_vav", "uabs_vav",
+        "u_base", "v_base", "uabs_base",
+        "dHi", "Hs_b", "dHs_dx", "dHs_dy",
+        "SMB", "BMB", "LMB", "mask",
+        "mask_gl_gr", "mask_gl_fl", "mask_cf_gr", "mask_cf_fl",
+        "fraction_gr_b", "bed_roughness", "till_friction_angle",
+        "pore_water_fraction", "basal_friction_coefficient",
+    }
+
+    def _requested_output_fields(self):
+        """Extra output variables from choice_output_field_01..50
+        (model_configuration: every selected name becomes a variable in
+        the main mesh + grid output files)."""
+        from ..io.output_files import MESH_FIELDS_DEFAULT
+        req, unsupported = [], []
+        for i in range(1, 51):
+            v = getattr(self.C, f"choice_output_field_{i:02d}", "none")
+            if not v or v == "none" or v in req \
+                    or v in MESH_FIELDS_DEFAULT:
+                continue
+            if v in self._EXTRA_OUTPUT_SUPPORTED:
+                req.append(v)
+            else:
+                unsupported.append(v)
+        if unsupported:
+            warning("choice_output_field: not yet writable, skipping {}",
+                    unsupported)
+        return req
+
     def _open_outputs(self):
         if self._outputs_open or self.output_dir is None:
             return
@@ -520,9 +552,12 @@ class ModelRegion:
             existing = [p for p in out.glob(f"main_output_{self.name}_0*.nc")
                         if "_grid" not in p.name]
             self._out_gen = len(existing) + 1
+        from ..io.output_files import MESH_FIELDS_DEFAULT
+        self._extra_out_fields = self._requested_output_fields()
+        out_fields = MESH_FIELDS_DEFAULT + self._extra_out_fields
         self.mesh_out = MeshOutputFile(
             out / f"main_output_{self.name}_{self._out_gen:05d}.nc",
-            self.mesh)
+            self.mesh, fields=out_fields)
         self.scalar_out = ScalarOutputFile(
             out / f"scalar_output_{self.name}_00001.nc")
         # gridded main output (grid_output_files.f90; created for every
@@ -533,7 +568,8 @@ class ModelRegion:
                               self.mesh.ymin, self.mesh.ymax,
                               getattr(self.C, f"dx_output_grid_{self.name}"))
         self.grid_out = GridOutputFile(
-            out / f"main_output_{self.name}_grid.nc", self.mesh, g)
+            out / f"main_output_{self.name}_grid.nc", self.mesh, g,
+            fields=out_fields)
         # transect output files (transects_main.f90)
         self.transect_out = []
         tr_str = getattr(self.C, f"transects_{self.name}", "")
@@ -587,13 +623,15 @@ class ModelRegion:
         h5py refuses to truncate a path that still has a live handle."""
         if not self._outputs_open:
             return
-        from ..io.output_files import MeshOutputFile
+        from ..io.output_files import MeshOutputFile, MESH_FIELDS_DEFAULT
         out = Path(self.output_dir)
         self.mesh_out.close()
         self._out_gen += 1
         self.mesh_out = MeshOutputFile(
             out / f"main_output_{self.name}_{self._out_gen:05d}.nc",
-            self.mesh)
+            self.mesh,
+            fields=MESH_FIELDS_DEFAULT
+            + getattr(self, "_extra_out_fields", []))
         if getattr(self, "grid_out", None) is not None:
             self.grid_out.update_mesh(self.mesh)
         if getattr(self, "transect_out", []):
@@ -616,6 +654,9 @@ class ModelRegion:
 
     def write_output(self):
         if not hasattr(self, "_output_calc"):
+            extra = self._requested_output_fields()
+            C = self.C
+
             @jax.jit
             def _output_calc(md_, state, t, SMB, BMB, LMB):
                 s = interpolate_ice_to_time(state, t)
@@ -642,6 +683,83 @@ class ModelRegion:
                     "Ti_base": s.Ti[:, -1],
                     "u_surf": u_sf, "v_surf": v_sf,
                     "uabs_surf": jnp.sqrt(u_sf ** 2 + v_sf ** 2)}
+                # choice_output_field_* extras (resolved on demand)
+                if "u_3D" in extra:
+                    fields["u_3D"] = s.u_3D_b
+                if "v_3D" in extra:
+                    fields["v_3D"] = s.v_3D_b
+                if "w_3D" in extra:
+                    from ..core.ice.thermodynamics import (
+                        calc_zeta_gradients, calc_vertical_velocities)
+                    dzx, dzy, dzz, _dzt = calc_zeta_gradients(
+                        md_, s.Hi, s.Hs, s.dHi_dt, s.dHi_dt)
+                    u3a = md_.M_map_b_a @ s.u_3D_b
+                    v3a = md_.M_map_b_a @ s.v_3D_b
+                    fields["w_3D"] = calc_vertical_velocities(
+                        C, md_, m, s.Hi, s.Hib, s.dHi_dt,
+                        jnp.zeros_like(s.Hi), s.u_3D_b, s.v_3D_b,
+                        u3a, v3a, dzx, dzy, dzz, BMB)
+                if "u_vav" in extra:
+                    fields["u_vav"] = s.u_vav_b
+                if "v_vav" in extra:
+                    fields["v_vav"] = s.v_vav_b
+                if "uabs_vav" in extra:
+                    fields["uabs_vav"] = jnp.sqrt(s.u_vav_b ** 2
+                                                  + s.v_vav_b ** 2)
+                if "u_base" in extra or "v_base" in extra \
+                        or "uabs_base" in extra:
+                    ub, vb = s.u_3D_b[:, -1], s.v_3D_b[:, -1]
+                    fields.update(u_base=ub, v_base=vb,
+                                  uabs_base=jnp.sqrt(ub ** 2 + vb ** 2))
+                if "dHi" in extra:
+                    fields["dHi"] = s.Hi - md_.x("refgeo_Hi")
+                if "Hs_b" in extra:
+                    fields["Hs_b"] = md_.M_map_a_b @ s.Hs
+                if "dHs_dx" in extra:
+                    fields["dHs_dx"] = md_.M_ddx_a_a.exact_matvec(s.Hs)
+                if "dHs_dy" in extra:
+                    fields["dHs_dy"] = md_.M_ddy_a_a.exact_matvec(s.Hs)
+                if "SMB" in extra:
+                    fields["SMB"] = SMB
+                if "BMB" in extra:
+                    fields["BMB"] = BMB
+                if "LMB" in extra:
+                    fields["LMB"] = LMB
+                if "mask" in extra:
+                    fields["mask"] = s.mask.astype(s.Hi.dtype)
+                for mk in ("mask_gl_gr", "mask_gl_fl",
+                           "mask_cf_gr", "mask_cf_fl"):
+                    if mk in extra:
+                        fields[mk] = m[mk].astype(s.Hi.dtype)
+                if "fraction_gr_b" in extra:
+                    fields["fraction_gr_b"] = s.fraction_gr_b
+                if "bed_roughness" in extra or \
+                        "till_friction_angle" in extra:
+                    fields["bed_roughness"] = s.bed_roughness
+                    fields["till_friction_angle"] = s.bed_roughness
+                if "pore_water_fraction" in extra:
+                    from ..core.ice.hydrology import \
+                        calc_pore_water_fraction_martin2011
+                    fields["pore_water_fraction"] = \
+                        calc_pore_water_fraction_martin2011(C, s.Hb, s.SL)
+                if "basal_friction_coefficient" in extra:
+                    from ..core.ice.sliding import \
+                        calc_basal_friction_coefficient
+                    from ..core.ice.ssadiva import _bed_roughness_fields
+                    from ..core.ice.subgrid import calc_effective_thickness
+                    Hi_eff_o, _fm = calc_effective_thickness(
+                        md_, s.Hi, s.Hb, s.SL)
+                    u_base_a = md_.M_map_b_a @ s.u_3D_b[:, -1]
+                    v_base_a = md_.M_map_b_a @ s.v_3D_b[:, -1]
+                    slope = jnp.sqrt(
+                        md_.M_ddx_a_a.exact_matvec(s.Hs) ** 2
+                        + md_.M_ddy_a_a.exact_matvec(s.Hs) ** 2)
+                    fields["basal_friction_coefficient"] = \
+                        calc_basal_friction_coefficient(
+                            C, md_, _bed_roughness_fields(
+                                C, md_, s.bed_roughness),
+                            u_base_a, v_base_a, s.Hi, Hi_eff_o, s.Hb,
+                            s.SL, slope, fg, m)
                 counters = (s.dt_ice, s.n_visc_its, s.n_Axb_its)
                 return fields, scal, counters
             self._output_calc = _output_calc
