@@ -55,6 +55,20 @@ def write_run_manifest(out_dir, config_path):
         json.dumps(manifest, indent=1))
 
 
+def _write_resource_record(out: Path, t: float):
+    """Append one coupling interval's per-routine wall times to
+    <out>/resource_tracking.jsonl and reset the tracker (the reference
+    writes its resource NetCDF and resets each coupling interval,
+    netcdf_resource_tracking.f90:26-149). Consumed by
+    upsy-analyse-resources (tools/analyse_resources.py)."""
+    import json
+    tr = get_tracker()
+    rec = {"t": float(t), "routines": tr.as_dict()}
+    with open(out / "resource_tracking.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    tr.reset()
+
+
 def run_model(config_path: str, output_dir: str | None = None):
     from .region import ModelRegion
 
@@ -102,6 +116,10 @@ def run_model(config_path: str, output_dir: str | None = None):
             happy("  Running region {} to t = {:.1f} yr ...", name, t_next)
             region.run_to(t_next)
         t = t_next
+        # per-coupling-interval resource-tracking record + reset
+        # (write_to_resource_tracking_file / reset_resource_tracker,
+        # UFEMISM_program.f90:99-129; JSON instead of NetCDF-int-paths)
+        _write_resource_record(out, t)
 
         # MISMIP+ flow-factor tuning for the GL position
         # (UFEMISM_program.f90:114-123)
