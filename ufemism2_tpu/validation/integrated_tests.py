@@ -416,7 +416,17 @@ def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
     while t < C.end_time_of_run - 1e-9:
         t_next = min(t + C.dt_coupling, C.end_time_of_run)
         _tw = _time.perf_counter()
-        r.run_to(t_next)
+        # advance in sub-windows with a heartbeat print each: rough GL
+        # intervals can burn >900 s per coupling interval, and the chain
+        # watchdog kills any attempt whose LOG stops growing that long
+        t_sub = t
+        while t_sub < t_next - 1e-9:
+            t_sub = min(t_sub + C.dt_coupling / 4.0, t_next)
+            r.run_to(t_sub)
+            if t_sub < t_next - 1e-9:
+                print(f"[gate]  ...t={t_sub:9.1f} steps={r.n_dt_ice} "
+                      f"axb={int(r.state.n_Axb_its)}", flush=True)
+                r.write_restart()
         t = t_next
         print(f"[gate] t={t:9.1f}  x_GL={_x_GL_westeast(r)/1e3:7.1f} km  "
               f"steps={r.n_dt_ice}  axb={int(r.state.n_Axb_its)}  "
