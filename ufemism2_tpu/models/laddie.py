@@ -555,15 +555,133 @@ def run_laddie_leg_with_diag(C, md: MeshData, state: LaddieState,
     return state, melt, {k: v for k, v in ph.items()}
 
 
+# ---------------------------------------------------------------------------
+# Active-set compaction: the TPU-native equivalent of the reference's
+# LADDIE load-balancing repartitioning (mesh_repartitioning.f90:31-101 +
+# LADDIE_main_model.f90:69-84). The masked full-mesh formulation above is
+# correct but pays ~nV/nShelf of every plume substep; here the shelf +
+# 3 neighbour rings are extracted into a compact sub-MeshData (static
+# shapes, padded to PAD_MULT buckets) on the host at coupling cadence,
+# the whole pseudo-time leg runs on the compact arrays, and the melt /
+# plume state scatter back to the full mesh.
+# ---------------------------------------------------------------------------
+
+_PAD_MULT = 256
+
+
+def _ring_expand(C_tbl, keep, n_rings):
+    """Expand a vertex mask by n_rings of mesh connectivity (host)."""
+    for _ in range(n_rings):
+        nb = C_tbl[keep]
+        nb = nb[nb >= 0]
+        grown = keep.copy()
+        grown[nb] = True
+        keep = grown
+    return keep
+
+
+def build_compact_laddie_md(md: MeshData, shelf_np):
+    """(md_c, V_keep, Tri_keep, E_keep) - a compact MeshData restricted
+    to the shelf + 3 rings (every evaluated row's full operator stencil
+    stays inside). Entity sets are padded to _PAD_MULT multiples by
+    repeating row 0 (masked out; scatter-back ignores pads)."""
+    from types import SimpleNamespace
+    from ..core.mesh_data import build_mesh_data
+
+    mesh = md._host_mesh
+    keep = _ring_expand(mesh.C, shelf_np.astype(bool).copy(), 3)
+    V_keep = np.where(keep)[0]
+    in_keep = keep
+    tri_in = in_keep[mesh.Tri].all(axis=1)
+    Tri_keep = np.where(tri_in)[0]
+    e_in = in_keep[mesh.EV].all(axis=1)
+    E_keep = np.where(e_in)[0]
+
+    def _pad(idx):
+        n = len(idx)
+        np_pad = (-n) % _PAD_MULT
+        return np.concatenate([idx, np.repeat(idx[:1], np_pad)]), n
+
+    V_keep, nVr = _pad(V_keep)
+    Tri_keep, nTr = _pad(Tri_keep)
+    E_keep, nEr = _pad(E_keep)
+
+    mapV = np.full(mesh.nV, -1, np.int64)
+    mapV[V_keep[:nVr]] = np.arange(nVr)
+    mapT = np.full(mesh.nTri, -1, np.int64)
+    mapT[Tri_keep[:nTr]] = np.arange(nTr)
+    mapE = np.full(mesh.nE, -1, np.int64)
+    mapE[E_keep[:nEr]] = np.arange(nEr)
+
+    def remap(tbl, mp):
+        out = np.where(tbl >= 0, mp[np.maximum(tbl, 0)], -1)
+        return out
+
+    ops = mesh.operators
+
+    def sl(A, rows, cols):
+        return A.tocsr()[rows][:, cols].tocsr()
+
+    lite = SimpleNamespace(
+        nV=len(V_keep), nTri=len(Tri_keep), nE=len(E_keep),
+        V=mesh.V[V_keep], TriGC=mesh.TriGC[Tri_keep],
+        A=mesh.A[V_keep], TriA=mesh.TriA[Tri_keep], R=mesh.R[V_keep],
+        zeta=mesh.zeta, zeta_stag=mesh.zeta_stag,
+        C=remap(mesh.C[V_keep], mapV),
+        VE=remap(mesh.VE[V_keep], mapE),
+        Cw=mesh.Cw[V_keep],
+        D_x=mesh.D_x[V_keep], D_y=mesh.D_y[V_keep], D=mesh.D[V_keep],
+        Tri=remap(mesh.Tri[Tri_keep], mapV),
+        EV=remap(mesh.EV[E_keep], mapV),
+        ETri=remap(mesh.ETri[E_keep], mapT),
+        TriC=remap(mesh.TriC[Tri_keep], mapT),
+        TriE=remap(mesh.TriE[Tri_keep], mapE),
+        Tricc=mesh.Tricc[Tri_keep],
+        VBI=mesh.VBI[V_keep],
+        operators=SimpleNamespace(**{
+            name: sl(getattr(ops, name), r_keep, c_keep)
+            for name, (r_keep, c_keep) in {
+                "M_ddx_a_a": (V_keep, V_keep),
+                "M_ddy_a_a": (V_keep, V_keep),
+                "M_map_a_b": (Tri_keep, V_keep),
+                "M_ddx_a_b": (Tri_keep, V_keep),
+                "M_ddy_a_b": (Tri_keep, V_keep),
+                "M_map_b_a": (V_keep, Tri_keep),
+                "M_ddx_b_a": (V_keep, Tri_keep),
+                "M_ddy_b_a": (V_keep, Tri_keep),
+                "M_ddx_b_b": (Tri_keep, Tri_keep),
+                "M_ddy_b_b": (Tri_keep, Tri_keep),
+                "M2_ddx_b_b": (Tri_keep, Tri_keep),
+                "M2_ddy_b_b": (Tri_keep, Tri_keep),
+                "M2_d2dx2_b_b": (Tri_keep, Tri_keep),
+                "M2_d2dxdy_b_b": (Tri_keep, Tri_keep),
+                "M2_d2dy2_b_b": (Tri_keep, Tri_keep),
+            }.items()}),
+    )
+    # pad rows carry -1 connectivity (fully masked); keep row 0 geometry
+    pad_V = np.arange(len(V_keep)) >= nVr
+    lite.C[pad_V] = -1
+    lite.VE[pad_V] = -1
+    pad_T = np.arange(len(Tri_keep)) >= nTr
+    lite.TriC[pad_T] = -1
+    md_c = build_mesh_data(lite, dtype=md.A.dtype)
+    return md_c, (V_keep, nVr), (Tri_keep, nTr), (E_keep, nEr)
+
+
 def make_run_bmb_laddie(C, md: MeshData, region_name: str):
-    """BMB coupling: run a LADDIE leg each call (BMB_main.f90 'laddie')."""
+    """BMB coupling: run a LADDIE leg each call (BMB_main.f90 'laddie').
+
+    With tpu_laddie_compaction (default on) the leg runs on the
+    compacted shelf sub-mesh; the compact MeshData + step function are
+    rebuilt only when the shelf mask changes (the reference repartitions
+    at the same cadence, LADDIE_main_model.f90:69-84)."""
     from ..models.ocean import ocean_depth_axis
-    step_fn = make_laddie_step(C, md)
+    do_compact = bool(getattr(C, "tpu_laddie_compaction", True))
+    step_fn = None if do_compact else make_laddie_step(C, md)
     calc_sgd = make_calc_SGD(C, md)
     laddie_state = {}
 
-    def run(time, s, masks, fraction_gr, ocean=None):
-        lm = laddie_masks(md, masks)
+    def _forcing_full(time, s, masks, ocean):
         dHib_dx_b = md.M_ddx_a_b @ s.Hib
         dHib_dy_b = md.M_ddy_a_b @ s.Hib
         forcing = {
@@ -578,14 +696,72 @@ def make_run_bmb_laddie(C, md: MeshData, region_name: str):
         if calc_sgd is not None:
             forcing["SGD"] = calc_sgd(masks["mask_floating_ice"],
                                       masks["mask_gl_fl"], time)
+        return forcing
+
+    def _run_full(time, s, masks, ocean):
+        lm = laddie_masks(md, masks)
+        forcing = _forcing_full(time, s, masks, ocean)
         if "state" not in laddie_state:
             laddie_state["state"] = init_laddie_state(C, md, lm, forcing)
             duration = C.time_duration_laddie_init
         else:
             duration = C.time_duration_laddie
-        st, melt = run_laddie_leg(C, md, laddie_state["state"], lm, forcing,
-                                  duration, step_fn)
+        st, melt = run_laddie_leg(C, md, laddie_state["state"], lm,
+                                  forcing, duration, step_fn)
         laddie_state["state"] = st
+        return melt
+
+    def _run_compact(time, s, masks, ocean):
+        shelf_np = np.asarray(masks["mask_floating_ice"])
+        key = shelf_np.tobytes()
+        if laddie_state.get("compact_key") != key:
+            md_c, Vk, Tk, Ek = build_compact_laddie_md(md, shelf_np)
+            laddie_state.update(
+                compact_key=key, md_c=md_c, Vk=Vk, Tk=Tk, Ek=Ek,
+                step_c=make_laddie_step(C, md_c))
+        md_c = laddie_state["md_c"]
+        V_keep, nVr = laddie_state["Vk"]
+        Tri_keep, nTr = laddie_state["Tk"]
+        iV = jnp.asarray(V_keep)
+        iT = jnp.asarray(Tri_keep)
+
+        masks_c = {k: masks[k][iV] for k in
+                   ("mask_floating_ice", "mask_grounded_ice",
+                    "mask_icefree_land", "mask_icefree_ocean",
+                    "mask_gl_fl")}
+        lm = laddie_masks(md_c, masks_c)
+        forcing = _forcing_full(time, s, masks, ocean)
+        fc = dict(forcing)
+        for k in ("Hib", "Ti_base", "T_ocean", "S_ocean", "SGD"):
+            if k in fc:
+                fc[k] = fc[k][iV]
+        for k in ("dHib_dx_b", "dHib_dy_b"):
+            fc[k] = fc[k][iT]
+
+        if "state" not in laddie_state:
+            laddie_state["state"] = init_laddie_state(C, md, laddie_masks(
+                md, masks), forcing)
+            duration = C.time_duration_laddie_init
+        else:
+            duration = C.time_duration_laddie
+        full = laddie_state["state"]
+        st_c = LaddieState(H=full.H[iV], U=full.U[iT], V=full.V[iT],
+                           T=full.T[iV], S=full.S[iV])
+        st_c, melt_c = run_laddie_leg(C, md_c, st_c, lm, fc, duration,
+                                      laddie_state["step_c"])
+        # scatter the compact plume state + melt back to the full mesh
+        iVr, iTr = iV[:nVr], iT[:nTr]
+        laddie_state["state"] = LaddieState(
+            H=full.H.at[iVr].set(st_c.H[:nVr]),
+            U=full.U.at[iTr].set(st_c.U[:nTr]),
+            V=full.V.at[iTr].set(st_c.V[:nTr]),
+            T=full.T.at[iVr].set(st_c.T[:nVr]),
+            S=full.S.at[iVr].set(st_c.S[:nVr]))
+        return jnp.zeros(md.nV, md.A.dtype).at[iVr].set(melt_c[:nVr])
+
+    def run(time, s, masks, fraction_gr, ocean=None):
+        melt = (_run_compact if do_compact else _run_full)(
+            time, s, masks, ocean)
         # BMB convention: negative = melt
         bmb_shelf = -melt
         from .bmb import apply_bmb_subgrid_scheme
