@@ -31,6 +31,18 @@ from pathlib import Path
 
 import numpy as np
 
+# The parity legs are CI-sized (40 km Halfar, small SSA/MISMIP) and run
+# fine on host CPU; forcing CPU keeps the harness off the single TPU
+# chip so it can run concurrently with the integrated-test gate chain.
+# The axon sitecustomize resets JAX_PLATFORMS=axon in the environment,
+# so the override must go through the live jax config before any
+# backend initialises (same pattern as tests/conftest.py).
+if "--tpu" not in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from ufemism2_tpu.io.ncio import NCFile

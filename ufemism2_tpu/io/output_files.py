@@ -26,6 +26,12 @@ B_GRID_FIELDS = {"u_surf", "v_surf", "uabs_surf",
 # 3-D (x zeta) output fields (netcdf_write_field_mesh.f90 *_3D writers)
 FIELDS_3D = {"u_3D", "v_3D", "w_3D"}
 
+# polyline variables, written as NaN-padded (ei, two) Matlab-contour
+# arrays into MESH files only (grid_output_files.f90:361-371 "Do
+# nothing; only written to mesh files")
+LINE_FIELDS = {"grounding_line", "ice_margin", "calving_front",
+               "coastline", "grounded_ice_contour"}
+
 
 def _is_b_grid(name):
     return name.endswith("_b") or name in B_GRID_FIELDS
@@ -154,6 +160,10 @@ class MeshOutputFile:
         self.nc.def_dim("time", None)
         self.nc.def_var("time", ("time",), units="years")
         for f in fields:
+            if f in LINE_FIELDS:
+                self.nc.def_var(f, ("time", "ei", "two"), units="m",
+                                format="Matlab contour format")
+                continue
             grid = "ti" if _is_b_grid(f) else "vi"
             dims = ("time", grid, "zeta") if f in FIELDS_3D \
                 else ("time", grid)
@@ -345,7 +355,8 @@ class GridOutputFile:
     def __init__(self, path, mesh, grid, fields=None):
         from ..remap.atlas import get_map
         self.grid = grid
-        self.fields = fields or MESH_FIELDS_DEFAULT
+        self.fields = [f for f in (fields or MESH_FIELDS_DEFAULT)
+                       if f not in LINE_FIELDS]
         self.M_a = get_map(mesh, grid)                 # vertices -> grid
         from ..remap.conservative import build_map_nearest
         self.M_b = build_map_nearest(mesh.TriGC, grid.centres(), mesh.nTri)

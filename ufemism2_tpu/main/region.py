@@ -38,6 +38,7 @@ from ..models.lmb import make_run_lmb
 from ..models.amb import make_run_amb
 from ..models.gia import make_run_gia
 from ..utils.logging_utils import routine, happy, warning
+from ..io.output_files import LINE_FIELDS as _LINE_FIELDS
 
 
 _BIG = 9.9e9
@@ -515,6 +516,11 @@ class ModelRegion:
         "mask_gl_gr", "mask_gl_fl", "mask_cf_gr", "mask_cf_fl",
         "fraction_gr_b", "bed_roughness", "till_friction_angle",
         "pore_water_fraction", "basal_friction_coefficient",
+        "TAF", "R_shear",
+        # polyline fields, extracted host-side at output cadence
+        # (mesh_output_files.f90 write_grounding_line_to_file ff.)
+        "grounding_line", "ice_margin", "calving_front", "coastline",
+        "grounded_ice_contour",
     }
 
     def _requested_output_fields(self):
@@ -654,7 +660,8 @@ class ModelRegion:
 
     def write_output(self):
         if not hasattr(self, "_output_calc"):
-            extra = self._requested_output_fields()
+            extra = self._extra_out_fields = \
+                self._requested_output_fields()
             C = self.C
 
             @jax.jit
@@ -760,6 +767,24 @@ class ModelRegion:
                                 C, md_, s.bed_roughness),
                             u_base_a, v_base_a, s.Hi, Hi_eff_o, s.Hb,
                             s.SL, slope, fg, m)
+                if "TAF" in extra or any(
+                        f in _LINE_FIELDS for f in extra):
+                    from ..core.ice.geometry import \
+                        thickness_above_flotation
+                    fields["TAF"] = thickness_above_flotation(
+                        s.Hi, s.Hb, s.SL)
+                    fields["mask_grounded_ice"] = \
+                        m["mask_grounded_ice"].astype(s.Hi.dtype)
+                if "R_shear" in extra:
+                    # slide/shear ratio, conservation_of_momentum_main
+                    # .f90:240: (|u_base| + 0.1) / (|u_surf| + 0.1)
+                    ub = md_.M_map_b_a @ s.u_3D_b[:, -1]
+                    vb = md_.M_map_b_a @ s.v_3D_b[:, -1]
+                    us = md_.M_map_b_a @ s.u_3D_b[:, 0]
+                    vs = md_.M_map_b_a @ s.v_3D_b[:, 0]
+                    fields["R_shear"] = \
+                        (jnp.sqrt(ub ** 2 + vb ** 2) + 0.1) \
+                        / (jnp.sqrt(us ** 2 + vs ** 2) + 0.1)
                 counters = (s.dt_ice, s.n_visc_its, s.n_Axb_its)
                 return fields, scal, counters
             self._output_calc = _output_calc
@@ -769,6 +794,16 @@ class ModelRegion:
         # ONE host transfer for everything (per-field np.asarray costs a
         # device round-trip each through the remote-dispatch tunnel)
         fields, scal, counters = jax.device_get((fields, scal, counters))
+        line_req = [f for f in getattr(self, "_extra_out_fields", [])
+                    if f in _LINE_FIELDS]
+        if line_req:
+            from ..mesh.contour import calc_mesh_contour, \
+                line_output_fields
+            for name in line_req:
+                dmask, level = line_output_fields(
+                    name, fields["Hi"], fields["Hb"], fields["SL"],
+                    fields["TAF"], fields["mask_grounded_ice"] > 0.5)
+                fields[name] = calc_mesh_contour(self.mesh, dmask, level)
         scal = dict(scal)
         scal.update(dt_ice=float(counters[0]),
                     n_visc_its=int(counters[1]),
