@@ -261,3 +261,34 @@ def test_till_yield_stress_matches_reference(md):
                                   & ~m["mask_gl_gr"] & ~m["mask_cf_gr"])
             np.testing.assert_allclose(beta[interior], want[interior],
                                        rtol=1e-6, err_msg=f"{law}@{phi_deg}")
+
+
+def test_vertical_velocity_slab(small_mesh):
+    """Conservation-of-mass w on a flat slab with uniform divergence
+    du/dx = a: dw/dz = -a exactly (vertical_velocities.f90 derivation),
+    so w(surface) = -a * H with w(base) = 0."""
+    from ufemism2_tpu.core.ice.thermodynamics import (
+        calc_zeta_gradients, calc_vertical_velocities)
+
+    m = small_mesh
+    md = build_mesh_data(m)
+    nV, nTri, nz = m.nV, m.nTri, m.nz
+    Hi = jnp.full(nV, 1000.0)
+    Hb = jnp.zeros(nV)
+    SL = jnp.full(nV, -2000.0)
+    a = 1e-3
+    u_b = jnp.asarray(a * m.TriGC[:, 0])[:, None] * jnp.ones((1, nz))
+    v_b = jnp.zeros((nTri, nz))
+    u_a = md.M_map_b_a @ u_b
+    v_a = md.M_map_b_a @ v_b
+    masks = determine_masks(md, Hi, Hb, SL)
+    z0 = jnp.zeros(nV)
+    dzx, dzy, dzz, _ = calc_zeta_gradients(md, Hi, Hb + Hi, z0, z0)
+    w = np.asarray(calc_vertical_velocities(
+        Config(), md, masks, Hi, Hb, z0, z0, u_b, v_b, u_a, v_a,
+        dzx, dzy, dzz, z0))
+    inner = np.hypot(m.V[:, 0], m.V[:, 1]) < 30e3
+    expect = -a * (1.0 - np.asarray(m.zeta)) * 1000.0
+    assert abs(w[inner, 0].mean() - expect[0]) < 0.01
+    assert np.abs(w[inner] - expect[None, :]).max() < 0.35
+    assert np.all(w[inner, -1] == 0.0)
