@@ -96,6 +96,8 @@ ICE_FIELD_META = {
     "pc.dHi_dt_Hi_nm1_u_nm1": F("a", "", "m yr^-1",
                                 "pc previous thinning rate",
                                 "conservative"),
+    "pc.tau_np1": F("a", "", "m yr^-1", "pc truncation error field",
+                    "trilin"),
 }
 
 

@@ -344,7 +344,16 @@ def make_pc_step(C, md: MeshData, refgeo_Hi=None, refgeo_Hb=None,
             mask_noice=mask_noice,
             pc=PCState(dt_n=dt_n, dt_np1=out.dt,
                        eta_n=eta_n, eta_np1=out.eta,
-                       dHi_dt_Hi_nm1_u_nm1=dHdt_nm1),
+                       dHi_dt_Hi_nm1_u_nm1=dHdt_nm1,
+                       # per-vertex truncation error of the ACCEPTED
+                       # attempt (Eq. 32 with the final dt; the loop
+                       # carry keeps only its max) - the reference
+                       # persists ice%pc%tau_np1 and writes it as the
+                       # pc_truncation_error output variable
+                       tau_np1=((out.dt / dt_n).astype(Hi_next.dtype)
+                                * jnp.abs(out.Hi_np1 - out.Hi_star)
+                                / ((3 * out.dt / dt_n + 3) * dt_n)
+                                .astype(Hi_next.dtype))),
             dt_ice=out.dt,
             n_visc_its=s.n_visc_its + out.n_visc_its,
             n_Axb_its=s.n_Axb_its + out.n_Axb_its,

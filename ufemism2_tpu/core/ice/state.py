@@ -22,6 +22,8 @@ class PCState:
     eta_n: jnp.ndarray       # previous max truncation error
     eta_np1: jnp.ndarray     # current max truncation error
     dHi_dt_Hi_nm1_u_nm1: jnp.ndarray  # [nV] thinning rates of previous step
+    tau_np1: jnp.ndarray     # [nV] truncation error field (ice%pc%tau_np1,
+    #                          written as pc_truncation_error output)
 
 
 @chex.dataclass
@@ -142,7 +144,7 @@ def init_ice_state(md, Hi, Hb, SL, nz: int, dt_init: float = 0.1,
         Ti=jnp.full((nV, nz), Ti_init, dtype),
         pc=PCState(dt_n=ft(dt_init), dt_np1=ft(dt_init),
                    eta_n=f(1e-8), eta_np1=f(1e-8),
-                   dHi_dt_Hi_nm1_u_nm1=zeros_v),
+                   dHi_dt_Hi_nm1_u_nm1=zeros_v, tau_np1=zeros_v),
         dt_ice=ft(dt_init),
         n_visc_its=jnp.zeros((), jnp.int32),
         n_Axb_its=jnp.zeros((), jnp.int32),

@@ -516,7 +516,7 @@ class ModelRegion:
         "mask_gl_gr", "mask_gl_fl", "mask_cf_gr", "mask_cf_fl",
         "fraction_gr_b", "bed_roughness", "till_friction_angle",
         "pore_water_fraction", "basal_friction_coefficient",
-        "TAF", "R_shear",
+        "TAF", "R_shear", "pc_truncation_error",
         # polyline fields, extracted host-side at output cadence
         # (mesh_output_files.f90 write_grounding_line_to_file ff.)
         "grounding_line", "ice_margin", "calving_front", "coastline",
@@ -775,6 +775,9 @@ class ModelRegion:
                         s.Hi, s.Hb, s.SL)
                     fields["mask_grounded_ice"] = \
                         m["mask_grounded_ice"].astype(s.Hi.dtype)
+                if "pc_truncation_error" in extra:
+                    # mesh_output_files.f90:495: region%ice%pc%tau_np1
+                    fields["pc_truncation_error"] = s.pc.tau_np1
                 if "R_shear" in extra:
                     # slide/shear ratio, conservation_of_momentum_main
                     # .f90:240: (|u_base| + 0.1) / (|u_surf| + 0.1)
@@ -1197,7 +1200,8 @@ def _region_update_mesh(region):
             eta_n=jnp.asarray(C.pc_epsilon, pc0.eta_n.dtype),
             eta_np1=jnp.asarray(C.pc_epsilon, pc0.eta_np1.dtype),
             dHi_dt_Hi_nm1_u_nm1=jnp.zeros_like(
-                pc0.dHi_dt_Hi_nm1_u_nm1)))
+                pc0.dHi_dt_Hi_nm1_u_nm1),
+            tau_np1=jnp.zeros_like(pc0.tau_np1)))
     region.state = new_state
 
     # rebuild jitted machinery + component models on the new mesh
