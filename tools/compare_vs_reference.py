@@ -362,13 +362,15 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     write = "--write" in sys.argv
     which = args or ["halfar", "ssa"]
+    # accumulate across invocations (and write after EVERY suite): a
+    # long multi-suite sweep killed by a driver timeout must not lose
+    # the suites that did complete
+    acc_path = SCOREBOARD.parent / "validation_runs" / "parity_acc.json"
     all_res = {}
-    for w in which:
-        res, report = RUNNERS[w](write)
-        print("\n".join(report), flush=True)
-        all_res.update(res)
-    print(json.dumps(all_res, indent=1, default=float))
-    if write:
+    if acc_path.exists():
+        all_res.update(json.loads(acc_path.read_text()))
+
+    def _write_entry():
         from ufemism2_tpu.validation.scoreboard import ScoreboardRun
         run = ScoreboardRun(name="reference_output_parity",
                             category="reproducibility")
@@ -380,6 +382,16 @@ def main():
                                   "fraction of compared stats within band",
                                   v["n_pass"] / max(v["n_checked"], 1))
         run.write(str(SCOREBOARD))
+
+    for w in which:
+        res, report = RUNNERS[w](write)
+        print("\n".join(report), flush=True)
+        all_res.update(res)
+        acc_path.parent.mkdir(exist_ok=True)
+        acc_path.write_text(json.dumps(all_res, indent=1, default=float))
+        if write:
+            _write_entry()
+    print(json.dumps(all_res, indent=1, default=float), flush=True)
 
 
 if __name__ == "__main__":
