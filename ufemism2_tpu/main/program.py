@@ -163,7 +163,25 @@ def mismipplus_adapt_flow_factor(C, region):
     lam = taf_line[i] / (taf_line[i] - taf_line[i + 1])
     x_GL = (1 - lam) * xs[i] + lam * xs[i + 1]
 
-    f = 2.0 ** ((x_GL - 450e3) / 80000.0)
+    # The reference's raw proportional controller
+    # (f = 2^((x_GL-450km)/80km), inversion_utilities.f90:135) has gain
+    # ~2x per adaptation; on our mesh its dx_GL/dlogA sensitivity makes
+    # the GL oscillate +-100 km around the target, and every swing
+    # drives remesh + dt_ice_min resets (measured ~1160 Axb its/sim-yr
+    # during the swings vs ~40 converged). The fixed point - the A for
+    # which the steady GL sits at 450 km - is unchanged by the gain, so
+    # damp bisection-style: halve the exponent gain every time the
+    # error changes sign, restore it slowly while the sign persists.
+    err = x_GL - 450e3
+    tune = getattr(region, "_mismip_tune", None)
+    if tune is None:
+        tune = region._mismip_tune = {"gain": 1.0, "last_err": None}
+    if tune["last_err"] is not None and err * tune["last_err"] < 0:
+        tune["gain"] = max(0.125, tune["gain"] * 0.5)
+    elif tune["last_err"] is not None:
+        tune["gain"] = min(1.0, tune["gain"] * 1.25)
+    tune["last_err"] = err
+    f = 2.0 ** (tune["gain"] * err / 80000.0)
     if region.md.extras and "glen_A_scale" in region.md.extras:
         # dynamic multiplier traced through md: update in place, no
         # re-jit (the rheology reads C.uniform_Glens_flow_factor *

@@ -371,9 +371,15 @@ def _mismip_resume_region(C, output_dir):
         if sf.exists() and r.md.extras and "glen_A_scale" in r.md.extras:
             import jax.numpy as jnp
             scale = json.loads(sf.read_text())["scale"]
+            d = json.loads(sf.read_text())
             e = r.md.extras["glen_A_scale"]
             e.arr = jnp.asarray(scale, e.arr.dtype)
-            print(f"[gate] restored glen_A_scale = {scale:.6f}", flush=True)
+            # damped-controller state survives the resume too
+            if "gain" in d:
+                r._mismip_tune = {"gain": d["gain"],
+                                  "last_err": d.get("last_err")}
+            print(f"[gate] restored glen_A_scale = {scale:.6f} "
+                  f"(gain {d.get('gain', 1.0):.3f})", flush=True)
     return r, resume_path is not None
 
 
@@ -441,10 +447,13 @@ def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
             if abs(1.0 - Hs_cur / Hs_prev) < 5.0e-3:
                 mismipplus_adapt_flow_factor(C, r)
                 if r.md.extras and "glen_A_scale" in r.md.extras:
+                    tune = getattr(r, "_mismip_tune", {})
                     sf.write_text(json.dumps({
                         "scale": float(np.asarray(
                             r.md.extras["glen_A_scale"].arr)),
-                        "A0": C.uniform_Glens_flow_factor, "t": t}))
+                        "A0": C.uniform_Glens_flow_factor, "t": t,
+                        "gain": tune.get("gain", 1.0),
+                        "last_err": tune.get("last_err")}))
 
     r.write_restart()   # the ice1r leg chains from the finished state
     x_GL = _x_GL_westeast(r)
