@@ -179,7 +179,7 @@ def mismipplus_adapt_flow_factor(C, region):
     if tune["last_err"] is not None and err * tune["last_err"] < 0:
         tune["gain"] = max(0.125, tune["gain"] * 0.5)
     elif tune["last_err"] is not None:
-        tune["gain"] = min(1.0, tune["gain"] * 1.25)
+        tune["gain"] = min(1.0, tune["gain"] * 1.1)
     tune["last_err"] = err
     f = 2.0 ** (tune["gain"] * err / 80000.0)
     if region.md.extras and "glen_A_scale" in region.md.extras:

@@ -416,6 +416,7 @@ def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
     import time as _time
     t = float(r.time)
     Hs_cur = 1.0
+    x_GL_prev = None
     sf = Path(output_dir) / "glen_A_scale.json"
     print(f"[gate] mismipplus_spinup t={t:.1f} -> {C.end_time_of_run:.0f}",
           flush=True)
@@ -444,7 +445,19 @@ def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
         if C.refgeo_idealised_MISMIPplus_tune_A:
             Hs_prev = Hs_cur
             Hs_cur = float(np.asarray(r.state.Hs).max())
-            if abs(1.0 - Hs_cur / Hs_prev) < 5.0e-3:
+            # GL-motion gate on top of the reference's Hs-stability
+            # gate: the controller's steady-state assumption fails while
+            # the GL is still in transit (Hs_max at the dome stabilises
+            # long before the GL does), and adapting every interval
+            # during transit winds the flow factor far past its
+            # equilibrium (measured +-100 km GL swings). Only adapt when
+            # the GL moved < 30 m/yr over the last coupling interval.
+            x_GL_cur = _x_GL_westeast(r)
+            gl_steady = (x_GL_prev is not None
+                         and abs(x_GL_cur - x_GL_prev)
+                         / C.dt_coupling < 30.0)
+            x_GL_prev = x_GL_cur
+            if abs(1.0 - Hs_cur / Hs_prev) < 5.0e-3 and gl_steady:
                 mismipplus_adapt_flow_factor(C, r)
                 if r.md.extras and "glen_A_scale" in r.md.extras:
                     tune = getattr(r, "_mismip_tune", {})
