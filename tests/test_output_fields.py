@@ -42,7 +42,8 @@ def test_choice_output_fields_written(tmp_path):
         choice_output_field_06="SMB",
         choice_output_field_07="mask",
         choice_output_field_08="basal_friction_coefficient",
-        choice_output_field_09="R_shear",      # unsupported -> warn only
+        choice_output_field_09="R_shear",
+        choice_output_field_10="dummy_not_a_field",  # unsupported -> warn
     )
     r = ModelRegion(C, "ANT", output_dir=str(tmp_path))
     r.run_to(2.0)
@@ -55,10 +56,13 @@ def test_choice_output_fields_written(tmp_path):
             assert v.shape[1:] == (lead, nz), name
             assert np.isfinite(v).all(), name
         for name in ("uabs_vav", "SMB", "mask",
-                     "basal_friction_coefficient"):
+                     "basal_friction_coefficient", "R_shear"):
             v = np.asarray(nc.read(name))
             assert v.ndim == 2 and np.isfinite(v).all(), name
-        assert "R_shear" not in nc.h5
+        # slide/shear ratio is bounded in (0, 1] for SIA-dominated flow
+        rs = np.asarray(nc.read("R_shear"))
+        assert (rs > 0).all() and (rs <= 1.0 + 1e-6).all()
+        assert "dummy_not_a_field" not in nc.h5
 
     with NCFile(str(tmp_path / "main_output_ANT_grid.nc")) as nc:
         u3 = np.asarray(nc.read("u_3D"))
