@@ -438,7 +438,10 @@ def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
         print(f"[gate] t={t:9.1f}  x_GL={_x_GL_westeast(r)/1e3:7.1f} km  "
               f"steps={r.n_dt_ice}  axb={int(r.state.n_Axb_its)}  "
               f"wall={_time.perf_counter() - _tw:6.1f}s  "
-              f"chunk={getattr(r, '_ff_steps', 0)}", flush=True)
+              f"chunk={getattr(r, '_ff_steps', 0)}  "
+              f"dt={float(r.state.dt_ice):.3f}  "
+              f"eta={float(r.state.pc.eta_np1):.2e}/"
+              f"{C.pc_epsilon:.1e}", flush=True)
         # checkpoint every coupling interval: a tunnel-worker drop then
         # costs at most dt_coupling of recompute, not the whole leg
         r.write_restart()
