@@ -91,3 +91,39 @@ def test_mismipplus_bmb_melt_formula():
     assert bmb[1] == 0.0          # above z0=-100: no melt
     assert bmb[2] == 0.0          # zero cavity: tanh(0)
     assert np.isclose(bmb[3], 0.0)  # grounded draft==bed: zero cavity
+
+
+def test_adapt_controller_damps_on_sign_flip(region):
+    """The damped controller: full reference gain while the GL error
+    keeps its sign, gain halved on every sign flip (the raw 2x-per-
+    adaptation proportional controller oscillates the GL +-100 km on
+    this discretisation; the fixed point is gain-independent)."""
+    from ufemism2_tpu.main.program import mismipplus_adapt_flow_factor
+    from ufemism2_tpu.core.ice.geometry import thickness_above_flotation
+
+    region._mismip_tune = None
+    scale0 = float(np.asarray(region.md.extras["glen_A_scale"].arr))
+
+    def force_gl(x_gl):
+        # synthetic TAF crossing zero at x = x_gl along y=0
+        taf = jnp.asarray(x_gl - region.mesh.V[:, 0],
+                          region.state.TAF.dtype)
+        region.state = region.state.replace(TAF=taf)
+
+    force_gl(530e3)                     # err +80 km
+    mismipplus_adapt_flow_factor(region.C, region)
+    t = region._mismip_tune
+    assert t["gain"] == 1.0 and t["last_err"] > 0
+    f1 = float(np.asarray(region.md.extras["glen_A_scale"].arr)) / scale0
+    assert np.isclose(f1, 2.0 ** (80e3 / 80e3), rtol=0.02)
+
+    force_gl(410e3)                     # err -40 km: sign flip
+    mismipplus_adapt_flow_factor(region.C, region)
+    assert region._mismip_tune["gain"] == 0.5
+    force_gl(420e3)                     # same sign: gain restores slowly
+    mismipplus_adapt_flow_factor(region.C, region)
+    assert np.isclose(region._mismip_tune["gain"], 0.55)
+    # restore the fixture's scale for other tests
+    region.md.extras["glen_A_scale"].arr = jnp.asarray(
+        scale0, region.md.extras["glen_A_scale"].arr.dtype)
+    region._mismip_tune = None
