@@ -292,3 +292,51 @@ def test_vertical_velocity_slab(small_mesh):
     assert abs(w[inner, 0].mean() - expect[0]) < 0.01
     assert np.abs(w[inner] - expect[None, :]).max() < 0.35
     assert np.all(w[inner, -1] == 0.0)
+
+
+def test_siassa_no_sliding_equals_sia(small_mesh):
+    """SIA/SSA with choice_sliding_law='no_sliding': the SSA part is
+    identically zero and the reference skips its solve entirely
+    (SSA_main.f90:125-130); solving with beta=0 instead gives a
+    free-slip membrane that runs away to vel_max (the round-4 ISMIP-HOM
+    SIASSA entries at u ~ 5000 m/yr). Hybrid must equal pure SIA."""
+    from ufemism2_tpu.core.ice.pc import make_solve_stress_balance
+
+    m = small_mesh
+    md = build_mesh_data(m)
+    r = np.hypot(m.V[:, 0], m.V[:, 1])
+    Hi = jnp.asarray(np.maximum(0.0, 2000.0 * (1 - (r / 60e3) ** 2)))
+    Hb = jnp.zeros(m.nV)
+    SL = jnp.full(m.nV, -2000.0)
+    Hs = Hb + Hi
+    Ti = jnp.full((m.nV, m.nz), 263.15)
+
+    class S:
+        pass
+
+    s = S()
+    s.u_vav_b = jnp.zeros(m.nTri)
+    s.v_vav_b = jnp.zeros(m.nTri)
+    s.u_3D_b = jnp.zeros((m.nTri, m.nz))
+    s.v_3D_b = jnp.zeros((m.nTri, m.nz))
+    s.visc_tau_bx = jnp.zeros(m.nTri)
+    s.visc_tau_by = jnp.zeros(m.nTri)
+    s.visc_eta_3D_b = jnp.full((m.nTri, m.nz), 1e4)
+    s.dHb = jnp.zeros(m.nV)
+
+    out = {}
+    for choice in ("SIA", "SIA/SSA"):
+        C = Config(choice_stress_balance_approximation=choice,
+                   choice_sliding_law="no_sliding",
+                   choice_ice_rheology_Glen="uniform",
+                   uniform_Glens_flow_factor=1e-16)
+        solve = make_solve_stress_balance(C, md)
+        u_vav, v_vav, u3, v3, nvi, nai, _aux = solve(
+            md, Hi, Hs, Hb, SL, Ti, s)
+        out[choice] = np.asarray(u_vav)
+    np.testing.assert_allclose(out["SIA/SSA"], out["SIA"],
+                               rtol=1e-12, atol=1e-12)
+    # the runaway mode pinned the whole field at vel_max (~5000 m/yr
+    # everywhere incl. the ice-free margin); genuine SIA leaves the
+    # margin at rest
+    assert np.abs(out["SIA/SSA"]).min() < 1.0, "hybrid ran away"

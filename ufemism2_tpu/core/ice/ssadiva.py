@@ -643,6 +643,32 @@ def make_solve_ssa_diva(C, md: MeshData, choice: str, bedrock_cdfs=None):
     from .subgrid import register_bedrock_cdfs
     register_bedrock_cdfs(md, bedrock_cdfs)
 
+    if not is_diva and no_sliding:
+        # Pure SSA (or the SSA part of SIA/SSA) with no sliding: the SSA
+        # velocity is identically zero and the reference skips the solve
+        # entirely (SSA_main.f90:125-130). Solving with beta = 0 instead
+        # would be a free-slip membrane - unbounded velocities.
+        def solve_no_slip(md, Hi, Hs, Hb, SL, Ti, s):
+            nz = md.nz
+            z_b = jnp.zeros(md.nTri, md.A.dtype)
+            z3 = jnp.zeros((md.nTri, nz), md.A.dtype)
+            u_vav, v_vav, u_3D, v_3D = z_b, z_b, z3, z3
+            if with_sia:
+                masks = determine_masks(md, Hi, Hb, SL)
+                A_flow = calc_ice_rheology_glen(
+                    C, md, Hi, Hs, Ti, masks["mask_grounded_ice"],
+                    masks["mask_floating_ice"])
+                u3s, v3s, _, _, _, uvs, vvs = sia_mod.solve_SIA(
+                    C, md, Hi, Hs, A_flow)
+                u_vav, v_vav = u_vav + uvs, v_vav + vvs
+                u_3D, v_3D = u_3D + u3s, v_3D + v3s
+            aux = {"visc_tau_bx": s.visc_tau_bx,
+                   "visc_tau_by": s.visc_tau_by,
+                   "visc_eta_3D_b": s.visc_eta_3D_b}
+            return (u_vav, v_vav, u_3D, v_3D, jnp.int32(0), jnp.int32(0),
+                    aux)
+        return solve_no_slip
+
     def solve(md, Hi, Hs, Hb, SL, Ti, s):
         # md is the RUNTIME MeshData pytree (a jit argument,
         # not a closure constant): keeps the big operator
