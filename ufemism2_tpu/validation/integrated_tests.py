@@ -456,9 +456,14 @@ def run_mismipplus_spinup(output_dir, scoreboard_dir=None,
             # equilibrium (measured +-100 km GL swings). Only adapt when
             # the GL moved < 30 m/yr over the last coupling interval.
             x_GL_cur = _x_GL_westeast(r)
+            # 10 m/yr: genuine steady-state GL wander is < 5 m/yr, while
+            # the long monotone relaxations after an adaptation drift at
+            # 20-50 m/yr for centuries - a 30 m/yr threshold still let
+            # the controller re-adapt mid-approach and wind up (r5 log,
+            # t=10850: A doubled while the GL was already descending)
             gl_steady = (x_GL_prev is not None
                          and abs(x_GL_cur - x_GL_prev)
-                         / C.dt_coupling < 30.0)
+                         / C.dt_coupling < 10.0)
             x_GL_prev = x_GL_cur
             if abs(1.0 - Hs_cur / Hs_prev) < 5.0e-3 and gl_steady:
                 mismipplus_adapt_flow_factor(C, r)
