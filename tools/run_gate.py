@@ -189,7 +189,11 @@ def main():
             print(r.summary(), flush=True)
         return
     elif gate == "ssa":
-        run = it.run_ssa_icestream(SCOREBOARD)
+        # optional per-tier resolutions: a second ModelRegion built in
+        # the same process reproducibly faults the remote TPU worker
+        # (round-5 finding), so the chain runs one tier per process
+        res = tuple(int(a) for a in args) if args else (32, 16, 8, 4)
+        run = it.run_ssa_icestream(SCOREBOARD, resolutions=res)
     elif gate == "mismip_mod":
         scale = float(args[0]) if args else 1.0
         run = it.run_mismip_mod(SCOREBOARD,
@@ -232,6 +236,11 @@ def main():
     if gate in _TERMINAL_T:
         end = float(args[0]) if args else None
         terminal = end is None or end >= _TERMINAL_T[gate]
+    if gate == "ssa":
+        # per-tier processes accumulate one entry; bands only once all
+        # four tiers are on it
+        have = {c["name"] for c in run.cost_functions}
+        terminal = all(f"RMSE_{r}km" in have for r in (32, 16, 8, 4))
     rc = check_bands(gate, run, terminal=terminal)
     if rc:
         raise SystemExit(rc)

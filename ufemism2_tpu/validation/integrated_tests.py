@@ -12,6 +12,7 @@ coarsens resolution / shortens the run for CI-speed smoke scoring;
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -135,11 +136,45 @@ def run_ssa_icestream(scoreboard_dir=None, resolutions=(32, 16, 8, 4),
 
     run = ScoreboardRun(name="SSA_icestream",
                         category="integrated_tests/idealised/SSA_icestream")
+    if scoreboard_dir:
+        # per-tier processes accumulate into ONE entry: merge the cost
+        # functions a previous tier's process wrote for this commit
+        import glob as _glob
+        import json as _json
+        prev = _glob.glob(str(Path(scoreboard_dir) /
+                              f"*SSA_icestream_{run.git_hash}.json"))
+        if prev:
+            for cf in _json.loads(Path(prev[0]).read_text(
+                    ))["cost_functions"]:
+                if not any(c["name"] == cf["name"]
+                           for c in run.cost_functions):
+                    run.cost_functions.append(cf)
     last_region = None
     for res in resolutions:
         cfg = REF_TESTS / "idealised/SSA_icestream" / SSA_CONFIGS[res]
         C = _load(cfg)
         r = _region(C, output_dir)
+        # The plastic-till viscosity iteration needs ~500 Picard its x
+        # ~90 Krylov its (the config asks for visc_it_nit=5000 at
+        # rtol 5e-8); on the remote TPU worker one dispatch is budget-
+        # bounded (ssadiva._AXB_SOLVE_BUDGET) to stay under the
+        # blocking-call watchdog, so continue the solve with extra
+        # warm-started passes - each pass resumes the viscosity
+        # iteration from the persistent solver state (u_vav/visc_*),
+        # equivalent to one long solve.
+        import jax as _jax
+        from ..core.ice.pc import make_solve_stress_balance
+        _solve = _jax.jit(make_solve_stress_balance(
+            C, r.md, bedrock_cdfs=r._bedrock_cdfs))
+        for _pass in range(int(os.environ.get("UF_SSA_EXTRA_PASSES", "8"))):
+            s0 = r.state
+            uv, vv, u3, v3, _nvi, nai, aux = _solve(
+                r.md, s0.Hi, s0.Hs, s0.Hb, s0.SL, s0.Ti, s0)
+            _jax.block_until_ready(uv)
+            r.state = s0.replace(u_vav_b=uv, v_vav_b=vv,
+                                 u_3D_b=u3, v_3D_b=v3, **aux)
+            if int(_nvi) <= 1:      # converged on entry to this pass
+                break
         r.run_to(C.end_time_of_run)
         last_region = r
 
@@ -157,6 +192,8 @@ def run_ssa_icestream(scoreboard_dir=None, resolutions=(32, 16, 8, 4),
         rmse = float(np.sqrt(((u_surf - u_an) ** 2).mean()))
         print(f"[ssa] {res} km: RMSE(u_surf) = {rmse:.1f} m/yr "
               f"(nV={r.mesh.nV})", flush=True)
+        run.cost_functions = [c for c in run.cost_functions
+                              if c["name"] != f"RMSE_{res}km"]
         run.add_cost_function(f"RMSE_{res}km",
                               "sqrt( mean( (u_surf - u_an).^2 ))", rmse)
         if scoreboard_dir:
