@@ -201,8 +201,13 @@ def main():
                                 scale=scale)
     elif gate == "berends":
         method = args[0] if args else "H_dHdt_flowline"
+        kw = {}
+        if len(args) > 1:
+            kw["t_spinup"] = float(args[1])
+        if len(args) > 2:
+            kw["t_invert"] = float(args[2])
         run = it.run_berends_nudging(method=method,
-                                     scoreboard_dir=SCOREBOARD)
+                                     scoreboard_dir=SCOREBOARD, **kw)
     elif gate == "berends2":
         method = args[0] if args else "H_dHdt_flowline"
         run = it.run_berends_exp_II(method=method,
