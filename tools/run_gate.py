@@ -196,9 +196,10 @@ def main():
         run = it.run_ssa_icestream(SCOREBOARD, resolutions=res)
     elif gate == "mismip_mod":
         scale = float(args[0]) if args else 1.0
+        only_leg = int(args[1]) if len(args) > 1 else None
         run = it.run_mismip_mod(SCOREBOARD,
                                 output_dir=os.path.join(RUNS, "mismip_mod"),
-                                scale=scale)
+                                scale=scale, only_leg=only_leg)
     elif gate == "berends":
         method = args[0] if args else "H_dHdt_flowline"
         kw = {}
@@ -241,6 +242,8 @@ def main():
     if gate in _TERMINAL_T:
         end = float(args[0]) if args else None
         terminal = end is None or end >= _TERMINAL_T[gate]
+    if gate == "mismip_mod" and len(args) > 1 and int(args[1]) < 4:
+        terminal = False            # per-leg run; bands at leg 4
     if gate == "ssa":
         # per-tier processes accumulate one entry; bands only once all
         # four tiers are on it

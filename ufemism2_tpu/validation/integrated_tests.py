@@ -801,6 +801,55 @@ def _transfer_geometry(region_prev, C_next, r_next=None):
     return r_next
 
 
+def _transfer_geometry_from_dir(prev_leg_dir, C_next, r_next):
+    """File-based leg chaining for per-process legs (the remote TPU
+    worker reproducibly faults on the SECOND ModelRegion built in one
+    process, so each MISMIP_mod leg runs in its own process): read the
+    previous leg's final geometry from its main output file and
+    interpolate onto the next leg's fresh mesh."""
+    import glob as _glob
+    from scipy.interpolate import LinearNDInterpolator
+    from ..io.ncio import NCFile
+
+    outs = sorted(_glob.glob(str(Path(prev_leg_dir)
+                                 / "main_output_ANT_0*.nc")))
+    outs = [p for p in outs if "_grid" not in p]
+    with NCFile(outs[-1]) as nc:
+        V = np.asarray(nc.read("V"))
+    # exact final state from the restart (written on the same, newest
+    # mesh generation as the newest main output file)
+    def _rt(p):
+        try:
+            with NCFile(p) as nc:
+                return float(np.asarray(nc.read("time")).reshape(-1)[0])
+        except Exception:
+            return -np.inf
+    rst = max(_glob.glob(str(Path(prev_leg_dir) / "restart_ANT_*.nc")),
+              key=_rt)
+    with NCFile(rst) as nc:
+        Hi = np.asarray(nc.read("Hi"))
+        Hb = np.asarray(nc.read("Hb"))
+        SL = np.asarray(nc.read("SL"))
+    assert len(Hi) == len(V), "restart mesh != newest output mesh"
+    P = np.asarray(r_next.mesh.V)
+    def interp(f):
+        return LinearNDInterpolator(V, f, fill_value=0.0)(P)
+    Hi_n = np.maximum(0.0, interp(Hi))
+    Hi_n = np.where(Hi_n < C_next.refgeo_Hi_min, 0.0, Hi_n)
+    import jax.numpy as jnp
+    from ..core.ice.geometry import (ice_surface_elevation,
+                                     thickness_above_flotation)
+    dt = r_next.state.Hi.dtype
+    Hi_j = jnp.asarray(Hi_n, dt)
+    Hb_j = jnp.asarray(interp(Hb), dt)
+    SL_j = jnp.asarray(interp(SL), dt)
+    Hs_j = ice_surface_elevation(Hi_j, Hb_j, SL_j)
+    r_next.state = r_next.state.replace(
+        Hi=Hi_j, Hi_prev=Hi_j, Hi_next=Hi_j, Hb=Hb_j, SL=SL_j, Hs=Hs_j,
+        Hib=Hs_j - Hi_j, TAF=thickness_above_flotation(Hi_j, Hb_j, SL_j))
+    return r_next
+
+
 def _octant_rGL(region):
     """GL distance from the domain centre along each octant transect."""
     from ..models.transects import Transect
@@ -814,12 +863,22 @@ def _octant_rGL(region):
 
 
 def run_mismip_mod(scoreboard_dir=None, output_dir=None, scale=1.0,
-                   t_spin40=None, t_spin10=None, t_adv=None, t_ret=None):
+                   t_spin40=None, t_spin10=None, t_adv=None, t_ret=None,
+                   only_leg=None):
     """Full MISMIP_mod hysteresis chain. scale < 1 shortens every leg
     proportionally (recorded in the scoreboard name) for CI-speed runs;
     scale=1.0 is the reference configuration. When output_dir is given,
     each leg writes restarts in its own subdirectory and a re-invocation
-    resumes mid-chain (worker drops through the tunnel are routine)."""
+    resumes mid-chain (worker drops through the tunnel are routine).
+
+    only_leg=N runs leg N alone in this process (the remote TPU worker
+    reproducibly faults on the second ModelRegion built in one process,
+    round-5 finding); legs chain through the previous leg's restart +
+    output files (_transfer_geometry_from_dir), octant GL radii persist
+    in <output_dir>/rGL_leg_NN.json, and the scoreboard entry is
+    written by the leg-4 invocation."""
+    import json as _json
+
     def _t(cfg_default, override):
         return override if override is not None else cfg_default * scale
 
@@ -836,6 +895,11 @@ def run_mismip_mod(scoreboard_dir=None, output_dir=None, scale=1.0,
             r, resumed = _region(C, None), False
         if not resumed and prev_region is not None:
             r = _transfer_geometry(prev_region, C, r_next=r)
+        if not resumed and prev_region is None and leg_no > 1 \
+                and output_dir is not None:
+            # per-process mode: chain from the previous leg's files
+            r = _transfer_geometry_from_dir(
+                Path(output_dir) / f"leg_{leg_no - 1:02d}", C, r)
         r.run_to(C.end_time_of_run)
         if leg_dir is not None:
             r.write_restart()   # completed leg resumes as completed
@@ -843,14 +907,48 @@ def run_mismip_mod(scoreboard_dir=None, output_dir=None, scale=1.0,
 
     geom = dict(choice_refgeo_init_ANT="idealised",
                 choice_refgeo_init_idealised="MISMIP_mod")
-    r1 = _leg("config_01_spinup_40km.cfg", _t(20000.0, t_spin40), 1, None)
-    r2 = _leg("config_02_spinup_10km.cfg", _t(5000.0, t_spin10), 2, r1,
-              **geom)
+    legs = {1: ("config_01_spinup_40km.cfg", _t(20000.0, t_spin40), {}),
+            2: ("config_02_spinup_10km.cfg", _t(5000.0, t_spin10), geom),
+            3: ("config_03_advance_10km.cfg", _t(10000.0, t_adv), geom),
+            4: ("config_04_retreat_10km.cfg", _t(10000.0, t_ret), geom)}
+
+    if only_leg is not None:
+        n = int(only_leg)
+        cfg_name, end, extra = legs[n]
+        r = _leg(cfg_name, end, n, None, **extra)
+        if n in (2, 4):
+            rGL = _octant_rGL(r)
+            Path(output_dir, f"rGL_leg_{n:02d}.json").write_text(
+                _json.dumps(rGL))
+        run = ScoreboardRun(name=f"MISMIP_mod_leg{n}",
+                            category="integrated_tests/idealised/MISMIP_mod")
+        run.add_cost_function("t_end", "leg end model time",
+                              float(r.time))
+        run.add_stability_info(_stability(r))
+        if n == 4:
+            rGL_spin = _json.loads(
+                Path(output_dir, "rGL_leg_02.json").read_text())
+            rGL_ret = _json.loads(
+                Path(output_dir, "rGL_leg_04.json").read_text())
+            tag = "" if scale >= 1.0 else f"_scale{scale:g}"
+            run = ScoreboardRun(
+                name="MISMIP_mod" + tag,
+                category="integrated_tests/idealised/MISMIP_mod")
+            for oc in _OCTANTS:
+                run.add_cost_function(
+                    f"GL_hyst_{oc}",
+                    "abs( rGL_retreat(end) - rGL_spinup(end) )",
+                    abs(rGL_ret[oc] - rGL_spin[oc]))
+            run.add_stability_info(_stability(r))
+        if scoreboard_dir:
+            run.write(scoreboard_dir)
+        return run
+
+    r1 = _leg(*legs[1][:2], 1, None, **legs[1][2])
+    r2 = _leg(*legs[2][:2], 2, r1, **legs[2][2])
     rGL_spin = _octant_rGL(r2)
-    r3 = _leg("config_03_advance_10km.cfg", _t(10000.0, t_adv), 3, r2,
-              **geom)
-    r4 = _leg("config_04_retreat_10km.cfg", _t(10000.0, t_ret), 4, r3,
-              **geom)
+    r3 = _leg(*legs[3][:2], 3, r2, **legs[3][2])
+    r4 = _leg(*legs[4][:2], 4, r3, **legs[4][2])
     rGL_ret = _octant_rGL(r4)
 
     tag = "" if scale >= 1.0 else f"_scale{scale:g}"
