@@ -271,7 +271,7 @@ def _relaunch_gate_chain():
     here = os.path.dirname(os.path.abspath(__file__))
     log = open(os.path.join(here, "validation_runs", "gates_r5.log"), "ab")
     subprocess.Popen(
-        ["setsid", "nohup", "bash", "tools/run_gates_r5h.sh"],
+        ["setsid", "nohup", "bash", "tools/run_gates_r5k.sh"],
         stdout=log, stderr=subprocess.STDOUT, cwd=here)
     print("# relaunched gate chain", flush=True)
 
